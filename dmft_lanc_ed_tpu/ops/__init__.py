@@ -1,0 +1,2 @@
+from .matvec import apply_h, matvec_flat, make_matvec
+from .lanczos import lanczos_tridiag, tridiag_eigh, lanczos_ground_state
