@@ -1,0 +1,155 @@
+"""Sector-scan diagonalization driver.
+
+TPU-native re-design of ED_DIAG.f90 (`diagonalize_impurity` / `ed_diag_d` /
+`ed_full_d`): scans the (Nup, Ndw) sectors, picks dense LAPACK for small
+dimensions (the reference's `lanc_dim_threshold` logic — which doubles as a
+continuous dense-vs-Krylov cross-validation) and restarted-Lanczos for large
+ones, then collects states into a :class:`~dmft_lanc_ed_tpu.eigenspace.StateList`:
+ground-state window at T=0 (gs_threshold semantics, ED_DIAG.f90:251-263),
+capacity-limited list at finite T, with `ed_post_diag`-style adaptive
+per-sector eigencounts (ED_DIAG.f90:471-605).
+
+Dense path runs on host LAPACK (same as the reference; also avoids TPU f64
+eigh accuracy limits); Krylov path runs the jitted device matvec.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .bath import Bath
+from .config import EDConfig
+from .eigenspace import EigenState, StateList
+from .hamiltonian import build_sector_hamiltonian, dense_hamiltonian
+from .ops.lanczos import lanczos_ground_state
+from .ops.matvec import matvec_flat
+from .sectors import SectorQN, SectorTable
+
+log = logging.getLogger("dmft_lanc_ed_tpu")
+
+
+@dataclass
+class DiagState:
+    """Cross-iteration diagonalization control state (neigen adaptation)."""
+    neigen_sector: Dict[SectorQN, int] = field(default_factory=dict)
+    lanc_nstates_total: int = 1
+    sector_hint: Optional[List[SectorQN]] = None   # restart restriction
+
+
+def _scan_sectors(cfg: EDConfig, table: SectorTable,
+                  ctl: DiagState) -> List[SectorQN]:
+    qns = table.all_qns()
+    if cfg.ed_twin:
+        qns = [s for s in qns if all(u >= d for u, d in zip(s[0], s[1]))]
+    if cfg.ed_sectors and ctl.sector_hint:
+        shift = cfg.ed_sectors_shift
+        keep = []
+        for s in qns:
+            for h in ctl.sector_hint:
+                if (max(abs(a - b) for a, b in zip(s[0], h[0])) <= shift and
+                        max(abs(a - b) for a, b in zip(s[1], h[1])) <= shift):
+                    keep.append(s)
+                    break
+        qns = keep
+    return qns
+
+
+def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
+                         bath: Bath, ctl: Optional[DiagState] = None,
+                         h_basis: Optional[np.ndarray] = None) -> StateList:
+    """One full spectrum determination (diagonalize_impurity, ED_DIAG.f90:22)."""
+    ctl = ctl or DiagState(lanc_nstates_total=cfg.lanc_nstates_total)
+    finite_t = cfg.finite_t
+    state_list = StateList(
+        max_size=ctl.lanc_nstates_total if finite_t else None)
+
+    if cfg.ed_diag_type == "full":
+        return _diag_full(cfg, table, hloc, bath, h_basis)
+
+    oldzero = np.inf
+    for sqn in _scan_sectors(cfg, table, ctl):
+        dim = table.dim(sqn)
+        neigen = min(dim, ctl.neigen_sector.get(sqn, cfg.lanc_nstates_sector)) \
+            if finite_t else min(dim, cfg.lanc_nstates_sector)
+        sec = table.sector(sqn)
+        h = build_sector_hamiltonian(cfg, sec, hloc, bath, h_basis=h_basis)
+
+        lanc_solve = dim > max(cfg.lanc_dim_threshold, neigen)
+        if lanc_solve:
+            ncv = min(dim, cfg.lanc_ncv_factor * neigen + cfg.lanc_ncv_add)
+            ncv = max(ncv, 2 * neigen + 16)
+            evals, evecs = lanczos_ground_state(
+                h, matvec_flat, dim, neigen,
+                ncv=min(ncv, dim),
+                tol=max(cfg.lanc_tolerance, 1e-14),
+                dtype=jnp.dtype(cfg.ed_dtype))
+        else:
+            dense = dense_hamiltonian(h)
+            w, v = np.linalg.eigh(dense)
+            evals, evecs = w[:neigen], v[:, :neigen].T
+
+        for k in range(len(evals)):
+            e = float(evals[k])
+            vec = jnp.asarray(evecs[k])
+            if finite_t:
+                state_list.add(EigenState(sqn, e, vec))
+            else:
+                # T=0 ground-state window (ED_DIAG.f90:251-263)
+                if e < oldzero - 10.0 * cfg.gs_threshold:
+                    oldzero = e
+                    state_list = StateList(max_size=None)
+                    state_list.add(EigenState(sqn, e, vec))
+                elif abs(e - oldzero) <= cfg.gs_threshold:
+                    oldzero = min(oldzero, e)
+                    state_list.add(EigenState(sqn, e, vec))
+    _post_diag(cfg, state_list, ctl)
+    return state_list
+
+
+def _diag_full(cfg: EDConfig, table: SectorTable, hloc, bath,
+               h_basis) -> StateList:
+    """Full diagonalization over every sector (ed_full_d, ED_DIAG.f90:287-398).
+
+    Stores *all* eigenpairs; the observables/GF layers then use exact
+    Boltzmann sums. Dense path is host LAPACK per sector.
+    """
+    state_list = StateList(max_size=None)
+    for sqn in table.all_qns():
+        sec = table.sector(sqn)
+        h = build_sector_hamiltonian(cfg, sec, hloc, bath, h_basis=h_basis)
+        w, v = np.linalg.eigh(dense_hamiltonian(h))
+        for k in range(len(w)):
+            state_list.add(EigenState(sqn, float(w[k]), jnp.asarray(v[:, k])))
+    return state_list
+
+
+def _post_diag(cfg: EDConfig, state_list: StateList, ctl: DiagState) -> None:
+    """Adaptive spectrum sizing (ed_post_diag, ED_DIAG.f90:471-605)."""
+    if not cfg.finite_t or state_list.size == 0:
+        if not cfg.finite_t:
+            ctl.sector_hint = state_list.sectors_contributing()
+        return
+    # per-sector neigen from the number of retained states + one step margin
+    counts: Dict[SectorQN, int] = {}
+    for s in state_list.states:
+        counts[s.qn] = counts.get(s.qn, 0) + 1
+    for sqn, c in counts.items():
+        ctl.neigen_sector[sqn] = c + 1
+    # grow/shrink total spectrum until the Boltzmann tail is below cutoff
+    egs, emax = state_list.emin, state_list.emax
+    tail = np.exp(-cfg.beta * (emax - egs))
+    if tail > cfg.cutoff and state_list.max_size is not None \
+            and state_list.size >= state_list.max_size:
+        ctl.lanc_nstates_total += cfg.lanc_nstates_step
+        log.info("post_diag: growing lanc_nstates_total -> %d (tail %.2e)",
+                 ctl.lanc_nstates_total, tail)
+    elif tail < cfg.cutoff and state_list.size > 2 * cfg.lanc_nstates_step:
+        # trim states beyond the cutoff
+        e_cut = egs - np.log(cfg.cutoff) / cfg.beta
+        keep = [s for s in state_list.states if s.e <= e_cut]
+        if len(keep) < state_list.size:
+            ctl.lanc_nstates_total = max(len(keep), 1)

@@ -1,0 +1,303 @@
+"""Impurity Green's functions and self-energy.
+
+TPU-native re-design of the dynamical-response layer (ED_GF_NORMAL.f90,
+ED_GF_SHARED.f90, ED_GREENS_FUNCTIONS.f90). Differences from the reference
+that are deliberate re-architecture, not behavior changes:
+
+- GFs are stored as **pole/weight data** (the reference's `GFmatrix` concept,
+  ED_VARS_GLOBAL.f90:87-96) and evaluated on any frequency grid in one
+  broadcast — the reference's per-frequency accumulation loops
+  (ED_GF_NORMAL.f90:638-653) become a single [Npoles, L] rational-sum kernel.
+- Excitation vectors c|psi>, c^+|psi> are built by masked device scatters
+  using the precomputed sector maps (replacing the master-only loop +
+  binary_search of ED_GF_NORMAL.f90:184-216).
+- The Krylov tridiagonalization is the jitted scan of
+  :func:`~dmft_lanc_ed_tpu.ops.lanczos.lanczos_tridiag`; the tiny tridiagonal
+  eigenproblem runs on host LAPACK (same as the reference's `eigh`).
+
+Conventions identical to the reference:
+  pole contribution  peso/(z - isign*(lambda_j - E_i)),
+  peso = norm2 * Z(1,j)^2 * boltzmann/Z  (add_to_lanczos_gf_normal).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .bath import Bath
+from .bath_functions import invg0_bath, g0and_bath
+from .config import EDConfig
+from .eigenspace import StateList
+from .hamiltonian import SectorHamiltonian
+from .ops.lanczos import lanczos_tridiag, tridiag_eigh
+from .ops.matvec import matvec_flat
+from .sectors import Sector, SectorQN, SectorTable, op_map
+
+Channel = Tuple[int, int, int]   # (ispin, iorb, jorb)
+
+
+@dataclass
+class GFPoles:
+    """Rational representation sum_k w_k / (z - p_k) of one GF channel."""
+    weights: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    poles: np.ndarray = field(default_factory=lambda: np.zeros(0))
+
+    def add(self, w: np.ndarray, p: np.ndarray) -> None:
+        self.weights = np.concatenate([self.weights, w])
+        self.poles = np.concatenate([self.poles, p])
+
+    def __call__(self, z: np.ndarray) -> np.ndarray:
+        if len(self.weights) == 0:
+            return np.zeros(len(z), dtype=np.complex128)
+        zz = jnp.asarray(z, jnp.complex128)
+        w = jnp.asarray(self.weights, jnp.complex128)
+        p = jnp.asarray(self.poles)
+        return np.asarray((w[None, :] / (zz[:, None] - p[None, :])).sum(-1))
+
+
+@dataclass
+class GFData:
+    """All GF channels of one solve."""
+    channels: Dict[Channel, GFPoles] = field(default_factory=dict)
+
+    def get(self, c: Channel) -> GFPoles:
+        if c not in self.channels:
+            self.channels[c] = GFPoles()
+        return self.channels[c]
+
+    def evaluate(self, cfg: EDConfig, z: np.ndarray) -> np.ndarray:
+        """[nspin, nspin, norb, norb, L] on the given frequency points."""
+        out = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, len(z)),
+                       dtype=np.complex128)
+        for (s, a, b), gp in self.channels.items():
+            out[s, s, a, b] = gp(z)
+        return out
+
+
+# --------------------------------------------------------------------------
+# excitation vectors: apply c / c^+ mapping between sectors, on device
+# --------------------------------------------------------------------------
+def apply_op(cfg: EDConfig, sec_from: Sector, sec_to: Sector, vec: jnp.ndarray,
+             iorb: int, ispin: int, create: bool) -> jnp.ndarray:
+    """vvinit = c^{(+)}_{iorb, ispin} |vec>, mapped into sector `sec_to`.
+
+    vec: flat in sector_from linear order; returns flat in sector_to order.
+    (ED_GF_NORMAL.f90:184-216 / 259-290 behavior.)
+    """
+    du_f, dd_f, dp = sec_from.dim_up, sec_from.dim_dw, sec_from.dim_ph
+    du_t, dd_t = sec_to.dim_up, sec_to.dim_dw
+    v = vec.reshape(dp, dd_f, du_f)
+    if ispin == 0:
+        idx, sgn = op_map(sec_from.states_up[0], sec_to.states_up[0],
+                          iorb, create)
+        mask = idx >= 0
+        safe = np.where(mask, idx, 0)
+        contrib = v * jnp.asarray(sgn, v.dtype)[None, None, :]
+        out = jnp.zeros((dp, dd_t, du_t), v.dtype)
+        out = out.at[:, :, jnp.asarray(safe)].add(
+            jnp.where(jnp.asarray(mask)[None, None, :], contrib, 0.0))
+    else:
+        idx, sgn = op_map(sec_from.states_dw[0], sec_to.states_dw[0],
+                          iorb, create)
+        mask = idx >= 0
+        safe = np.where(mask, idx, 0)
+        contrib = v * jnp.asarray(sgn, v.dtype)[None, :, None]
+        out = jnp.zeros((dp, dd_t, du_f), v.dtype)
+        out = out.at[:, jnp.asarray(safe), :].add(
+            jnp.where(jnp.asarray(mask)[None, :, None], contrib, 0.0))
+    return out.reshape(-1)
+
+
+# --------------------------------------------------------------------------
+# Lanczos GF builder
+# --------------------------------------------------------------------------
+class HCache:
+    """Per-solve cache of sector Hamiltonians (build once per sector)."""
+
+    def __init__(self, cfg: EDConfig, table: SectorTable, hloc, bath: Bath,
+                 h_basis=None):
+        from .hamiltonian import build_sector_hamiltonian
+        self._build = lambda sec: build_sector_hamiltonian(
+            cfg, sec, hloc, bath, h_basis=h_basis)
+        self.table = table
+        self._cache: Dict[SectorQN, SectorHamiltonian] = {}
+
+    def __call__(self, sqn: SectorQN) -> SectorHamiltonian:
+        if sqn not in self._cache:
+            self._cache[sqn] = self._build(self.table.sector(sqn))
+        return self._cache[sqn]
+
+
+def _one_excitation(cfg: EDConfig, table: SectorTable, hcache: HCache,
+                    state_vec: jnp.ndarray, state_e: float, sqn: SectorQN,
+                    iorb: int, ispin: int, create: bool,
+                    peso_bz: float, gf: GFPoles,
+                    op_vec: Optional[jnp.ndarray] = None,
+                    jqn_override: Optional[SectorQN] = None) -> None:
+    """One ADD/REMOVE branch: excite, tridiagonalize, accumulate poles."""
+    isign = +1 if create else -1
+    jqn = jqn_override or (table.cdg_sector(sqn, 0, ispin) if create
+                           else table.c_sector(sqn, 0, ispin))
+    if jqn is None:
+        return
+    sec_i = table.sector(sqn)
+    sec_j = table.sector(jqn)
+    if op_vec is None:
+        vv = apply_op(cfg, sec_i, sec_j, state_vec, iorb, ispin, create)
+    else:
+        vv = op_vec
+    norm2 = float(jnp.vdot(vv, vv).real)
+    if norm2 < 1e-28:
+        return
+    vv = vv / jnp.sqrt(norm2)
+    h = hcache(jqn)
+    m = min(sec_j.dim, cfg.lanc_ngfiter)
+    alphas, betas = lanczos_tridiag(h, vv, m, matvec_flat)
+    theta, s = tridiag_eigh(alphas, betas)
+    weights = norm2 * peso_bz * (s[0, :] ** 2)
+    poles = isign * (theta - state_e)
+    keep = np.abs(weights) > 1e-30
+    gf.add(weights[keep], poles[keep])
+
+
+def build_gf_normal(cfg: EDConfig, table: SectorTable, hcache: HCache,
+                    state_list: StateList) -> GFData:
+    """Diagonal (and optional off-diagonal) electron GF (build_gf_normal)."""
+    gf = GFData()
+    weights, zeta = state_list.boltzmann_weights(cfg.beta, cfg.finite_t)
+    offdiag = cfg.ed_solve_offdiag_gf or cfg.bath_type != "normal"
+
+    for w_s, st in zip(weights, state_list.states):
+        if cfg.finite_t and cfg.beta * (st.e - state_list.emin) >= 200:
+            continue
+        peso = w_s / zeta
+        for ispin in range(cfg.nspin):
+            for iorb in range(cfg.norb):
+                ch = gf.get((ispin, iorb, iorb))
+                _one_excitation(cfg, table, hcache, st.vec, st.e, st.qn,
+                                iorb, ispin, True, peso, ch)
+                _one_excitation(cfg, table, hcache, st.vec, st.e, st.qn,
+                                iorb, ispin, False, peso, ch)
+        if offdiag:
+            _build_gf_offdiag(cfg, table, hcache, st, peso, gf)
+    if offdiag:
+        _recombine_offdiag(cfg, gf)
+    return gf
+
+
+def _build_gf_offdiag(cfg, table, hcache, st, peso, gf: GFData) -> None:
+    """Mixed-operator channels for a!=b:
+    G_mix from (c_a + c_b)|psi> stored at channel (s, a, b) before
+    algebraic recombination (ED_GF_NORMAL.f90:347-588)."""
+    sec_i = table.sector(st.qn)
+    for ispin in range(cfg.nspin):
+        for a in range(cfg.norb):
+            for b in range(a + 1, cfg.norb):
+                ch = gf.get((ispin, a, b))
+                # ADD: (c^+_a + c^+_b)|psi>
+                jqn = table.cdg_sector(st.qn, 0, ispin)
+                if jqn is not None:
+                    sec_j = table.sector(jqn)
+                    vv = (apply_op(cfg, sec_i, sec_j, st.vec, a, ispin, True)
+                          + apply_op(cfg, sec_i, sec_j, st.vec, b, ispin, True))
+                    _one_excitation(cfg, table, hcache, st.vec, st.e, st.qn,
+                                    a, ispin, True, peso, ch, op_vec=vv,
+                                    jqn_override=jqn)
+                # REMOVE: (c_a + c_b)|psi>
+                jqn = table.c_sector(st.qn, 0, ispin)
+                if jqn is not None:
+                    sec_j = table.sector(jqn)
+                    vv = (apply_op(cfg, sec_i, sec_j, st.vec, a, ispin, False)
+                          + apply_op(cfg, sec_i, sec_j, st.vec, b, ispin, False))
+                    _one_excitation(cfg, table, hcache, st.vec, st.e, st.qn,
+                                    a, ispin, False, peso, ch, op_vec=vv,
+                                    jqn_override=jqn)
+
+
+def _recombine_offdiag(cfg: EDConfig, gf: GFData) -> None:
+    """G_ab <- 1/2 (G_mix - G_aa - G_bb) pole-wise (ED_GF_NORMAL.f90:82-98)."""
+    for ispin in range(cfg.nspin):
+        for a in range(cfg.norb):
+            for b in range(a + 1, cfg.norb):
+                mix = gf.channels.get((ispin, a, b))
+                if mix is None:
+                    continue
+                gaa = gf.get((ispin, a, a))
+                gbb = gf.get((ispin, b, b))
+                new = GFPoles()
+                new.add(0.5 * mix.weights, mix.poles)
+                new.add(-0.5 * gaa.weights, gaa.poles)
+                new.add(-0.5 * gbb.weights, gbb.poles)
+                gf.channels[(ispin, a, b)] = new
+                gf.channels[(ispin, b, a)] = new   # symmetric
+
+
+# --------------------------------------------------------------------------
+# full-ED (Lehmann) GF for ed_diag_type == "full"
+# --------------------------------------------------------------------------
+def build_gf_full(cfg: EDConfig, table: SectorTable,
+                  state_list: StateList) -> GFData:
+    """Exact Lehmann sum over the full spectrum (full_build_gf_normal).
+
+    G_aa(z) = 1/Z sum_{i,j} |<j| c^+_a |i>|^2 (e^{-bEi} + e^{-bEj})
+              / (z - (Ej - Ei)).
+    """
+    gf = GFData()
+    beta = cfg.beta
+    # group by sector
+    by_sector: Dict[SectorQN, List] = {}
+    for st in state_list.states:
+        by_sector.setdefault(st.qn, []).append(st)
+    e0 = state_list.emin
+    zeta = sum(np.exp(-beta * (st.e - e0)) for st in state_list.states)
+    for ispin in range(cfg.nspin):
+        for iorb in range(cfg.norb):
+            ch = gf.get((ispin, iorb, iorb))
+            wlist, plist = [], []
+            for sqn, states_i in by_sector.items():
+                jqn = table.cdg_sector(sqn, 0, ispin)
+                if jqn is None or jqn not in by_sector:
+                    continue
+                sec_i, sec_j = table.sector(sqn), table.sector(jqn)
+                vecs_i = jnp.stack([s.vec for s in states_i])
+                mapped = jnp.stack([
+                    apply_op(cfg, sec_i, sec_j, v, iorb, ispin, True)
+                    for v in vecs_i])                      # [Ni, dim_j]
+                vecs_j = jnp.stack([s.vec for s in by_sector[jqn]])
+                amp = np.asarray(vecs_j @ mapped.T)        # [Nj, Ni]
+                ei = np.array([s.e for s in states_i])
+                ej = np.array([s.e for s in by_sector[jqn]])
+                wb = (np.exp(-beta * (ei[None, :] - e0))
+                      + np.exp(-beta * (ej[:, None] - e0)))
+                w = (amp ** 2) * wb / zeta
+                p = ej[:, None] - ei[None, :]
+                keep = np.abs(w) > cfg.cutoff * 1e-3
+                wlist.append(w[keep])
+                plist.append(p[keep])
+            if wlist:
+                ch.add(np.concatenate(wlist), np.concatenate(plist))
+    return gf
+
+
+# --------------------------------------------------------------------------
+# Dyson: self-energy (build_sigma_normal, ED_GF_NORMAL.f90:935-1002)
+# --------------------------------------------------------------------------
+def build_sigma(cfg: EDConfig, hloc, bath: Bath, gf: GFData, z: np.ndarray,
+                h_basis=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (Sigma, G) on the given frequency points, reference layout."""
+    g = gf.evaluate(cfg, z)
+    ig0 = np.asarray(invg0_bath(cfg, hloc, bath, jnp.asarray(z), h_basis))
+    sigma = np.zeros_like(g)
+    if cfg.bath_type == "normal" and not cfg.ed_solve_offdiag_gf:
+        for s in range(cfg.nspin):
+            for a in range(cfg.norb):
+                sigma[s, s, a, a] = ig0[s, s, a, a] - 1.0 / g[s, s, a, a]
+    else:
+        for s in range(cfg.nspin):
+            blk = g[s, s].transpose(2, 0, 1)          # [L, no, no]
+            inv = np.linalg.inv(blk).transpose(1, 2, 0)
+            sigma[s, s] = ig0[s, s] - inv
+    return sigma, g

@@ -1,0 +1,50 @@
+"""DMFT loop integration tests (fast configs)."""
+import numpy as np
+import pytest
+
+from dmft_lanc_ed_tpu.config import EDConfig
+from dmft_lanc_ed_tpu.models.hm_bethe import run_dmft
+from dmft_lanc_ed_tpu.solver import matsubara_grid
+
+
+@pytest.mark.slow
+def test_bethe_u0_exact_limit():
+    """U=0 DMFT must reproduce the exact semicircular local GF."""
+    cfg = EDConfig(norb=1, nbath=5, uloc=(0.0,), beta=50.0, lmats=256,
+                   lreal=50, lfit=128, nloop=15, dmft_error=1e-5,
+                   cg_scheme="weiss", lanc_dim_threshold=4096)
+    res = run_dmft(cfg, wband=1.0, wmixing=0.7, verbose=False)
+    assert res.converged
+    wm = matsubara_grid(cfg)
+    g = res.g_mats[0, 0, 0, 0]
+    gexact = 2.0 * (1j * wm - 1j * np.sqrt(wm ** 2 + 1.0))
+    # bath discretization (nbath=5, beta=50) limits accuracy to a few %
+    assert np.abs(g - gexact).max() < 0.05
+    assert np.abs(res.sigma_mats).max() < 1e-6
+
+
+@pytest.mark.slow
+def test_bethe_u2_metallic():
+    """U=2D metallic solution: converged, half-filled, correlated docc."""
+    cfg = EDConfig(norb=1, nbath=4, uloc=(2.0,), beta=50.0, lmats=256,
+                   lreal=50, lfit=128, nloop=30, dmft_error=1e-5,
+                   cg_scheme="weiss", lanc_dim_threshold=4096)
+    res = run_dmft(cfg, wband=1.0, wmixing=0.5, verbose=False)
+    assert res.converged
+    assert abs(res.dens[0] - 1.0) < 5e-3          # half filling (hfmode)
+    assert 0.05 < res.docc[0] < 0.12              # correlated metal at U=2D
+    assert res.ekin < -0.1                        # kinetic energy negative
+    # quasiparticle weight in the metallic range
+    z = res.observables.zimp[0, 0]
+    assert 0.15 < z < 0.5
+
+
+@pytest.mark.slow
+def test_bethe_delta_scheme_matches_weiss():
+    cfg = EDConfig(norb=1, nbath=4, uloc=(1.0,), beta=50.0, lmats=256,
+                   lreal=50, lfit=128, nloop=30, dmft_error=1e-5,
+                   cg_scheme="weiss", lanc_dim_threshold=4096)
+    res_w = run_dmft(cfg, wband=1.0, verbose=False)
+    res_d = run_dmft(cfg.replace(cg_scheme="delta"), wband=1.0, verbose=False)
+    assert res_w.converged and res_d.converged
+    assert abs(res_w.docc[0] - res_d.docc[0]) < 2e-3
