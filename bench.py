@@ -2,13 +2,16 @@
 
 Runs the hot kernel of the framework — the (Nup, Ndw) sector Hamiltonian
 matvec (reference hot loop: spMatVec_mpi_main inside ARPACK reverse
-communication, ED_HAMILTONIAN_SPARSE_HxV.f90:568) — on the available device
+communication, ED_HAMILTONIAN_SPARSE_HxV.f90:568) — as a Lanczos-style chain
+inside a single jit (dispatch-amortized, the way the solver actually runs it)
 and reports nnz/s plus the fraction of the measured HBM stream roofline.
 
 Prints exactly ONE JSON line on stdout:
   {"metric": "sector_spmv_nnz_per_s", "value": N, "unit": "nnz/s",
    "vs_baseline": fraction_of_hbm_roofline}
-(vs_baseline is achieved/roofline; the BASELINE.md target is >= 0.70.)
+(vs_baseline = achieved / roofline where roofline assumes the minimum HBM
+traffic of one read + one write of the sector vector per matvec; the
+BASELINE.md north-star target is >= 0.70.)
 Supplementary details go to stderr.
 """
 import json
@@ -22,22 +25,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_stream_bw(jnp, jax, nbytes=2 ** 28):
-    """Measured HBM copy bandwidth (read+write) in bytes/s."""
-    x = jnp.ones(nbytes // 8, jnp.float64)
-    f = jax.jit(lambda x: x * 1.000001)
-    f(x).block_until_ready()
+def measure_stream_bw(jax, jnp, nbytes=2 ** 27, chain=30):
+    """Measured HBM read+write bandwidth via a chained-axpy scan."""
+    x = jnp.arange(nbytes // 8, dtype=jnp.float64)
+
+    @jax.jit
+    def run(x):
+        def step(x, _):
+            return x * 0.999999 + 1e-7, None
+        out, _ = jax.lax.scan(step, x, None, length=chain)
+        return out
+
+    run(x).block_until_ready()
     t0 = time.perf_counter()
-    reps = 10
-    y = x
-    for _ in range(reps):
-        y = f(y)
-    y.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    return 2.0 * nbytes / dt     # read + write
+    run(x).block_until_ready()
+    dt = (time.perf_counter() - t0) / chain
+    return 2.0 * nbytes / dt
 
 
-def bench_sector(cfg, sqn, reps=20):
+def bench_sector(cfg, sqn, chain=100, reps=3):
     import jax
     import jax.numpy as jnp
     from dmft_lanc_ed_tpu.bath import init_bath
@@ -54,18 +60,24 @@ def bench_sector(cfg, sqn, reps=20):
     log(f"sector {sqn}: dim={sec.dim} ({sec.dim_dw}x{sec.dim_up}), "
         f"nnz/matvec={nnz}")
 
-    mv = jax.jit(lambda hh, v: apply_h(hh, v))
+    @jax.jit
+    def run(v):
+        def step(v, _):
+            w = apply_h(h, v)
+            return w / jnp.linalg.norm(w), None
+        out, _ = jax.lax.scan(step, v, None, length=chain)
+        return out
+
     key = jax.random.PRNGKey(0)
     v = jax.random.normal(key, (sec.dim_dw, sec.dim_up),
                           jnp.dtype(cfg.ed_dtype))
-    y = mv(h, v)
-    y.block_until_ready()
-    t0 = time.perf_counter()
+    run(v).block_until_ready()
+    best = 1e30
     for _ in range(reps):
-        y = mv(h, y)           # chain to defeat CSE; Lanczos-like dependency
-    y.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    return nnz / dt, dt, sec.dim, nnz
+        t0 = time.perf_counter()
+        run(v).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / chain)
+    return nnz / best, best, sec.dim, nnz
 
 
 def main():
@@ -76,32 +88,22 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
-    bw = measure_stream_bw(jnp, jax)
+    bw = measure_stream_bw(jax, jnp)
     log(f"measured stream bandwidth: {bw / 1e9:.1f} GB/s")
 
     # ~1e6-state sector (BASELINE config "Nbath=9 / 1e6-state sectors" scale):
-    # nbath=11 -> ns=12, sector (6,6): 924 x 924 = 853776 states
+    # nbath=11 -> ns=12, half-filled sector (6,6): 924 x 924 = 853776 states
     cfg = EDConfig(norb=1, nbath=11, uloc=(2.0,), ed_dtype="float64")
     nups = cfg.ns // 2
-    best = 0.0
-    details = {}
-    for sqn_dims, reps in [(((nups,), (nups,)), 20)]:
-        nnz_s, dt, dim, nnz = bench_sector(cfg, sqn_dims, reps)
-        log(f"  matvec: {dt * 1e3:.2f} ms -> {nnz_s / 1e9:.3f} Gnnz/s")
-        if nnz_s > best:
-            best = nnz_s
-            # roofline: minimum traffic = read v + write y once (factor
-            # tables are KB-scale, VMEM-resident)
-            bytes_min = 2 * dim * 8
-            roofline = nnz / (bytes_min / bw)
-            details = dict(dim=dim, nnz=nnz, ms=dt * 1e3,
-                           roofline_gnnz=roofline / 1e9)
-    vs = best / (details["roofline_gnnz"] * 1e9)
-    log(f"roofline {details['roofline_gnnz']:.1f} Gnnz/s -> "
-        f"fraction {vs:.3f}")
+    nnz_s, dt, dim, nnz = bench_sector(cfg, ((nups,), (nups,)))
+    log(f"  matvec: {dt * 1e3:.3f} ms -> {nnz_s / 1e9:.3f} Gnnz/s")
+    bytes_min = 2 * dim * 8
+    roofline = nnz / (bytes_min / bw)
+    vs = nnz_s / roofline
+    log(f"roofline {roofline / 1e9:.1f} Gnnz/s -> fraction {vs:.4f}")
     print(json.dumps({
         "metric": "sector_spmv_nnz_per_s",
-        "value": round(best, 1),
+        "value": round(nnz_s, 1),
         "unit": "nnz/s",
         "vs_baseline": round(vs, 4),
     }))

@@ -5,18 +5,16 @@ ED_HAMILTONIAN_SPARSE_HxV.f90:391-485). The sector vector is a dense array
 ``v[DimPh, DimDw, DimUp]`` (phonon blocks outermost, up index fastest — the
 same linear order as the reference's ``i = iup + idw*DimUp + iph*DimUp*DimDw``).
 
-The tensor-product structure turns the reference's scalar CSR loops into a
-handful of array ops that XLA fuses into a few HBM-bandwidth-bound kernels:
+Formulation chosen by measurement on TPU v5e (experiments/matvec_variants.py,
+experiments/matvec_scan_bench.py): the ELL tables are applied **one ELL slot
+at a time as full row-gathers** — ``y += vals[:,k] * v[cols[:,k], :]`` — with
+the up-spin factor applied in the transposed layout so its gather is also a
+major-axis row gather. On TPU this lowers to contiguous-row gathers and runs
+~60x faster than the einsum-over-[N,K]-gather form (which materializes a
+[DimDw, DimUp, K] intermediate); it is also the layout the Pallas kernel
+shares. K (max entries/row) is ~2*Nbath — a static trip count.
 
-- diagonal:  elementwise multiply
-- up hops:   gather along the last axis with the ELL tables  [DimUp, K]
-- dw hops:   gather along the middle axis                    [DimDw, K]
-- non-local: per tensor-product term, two chained gathers (partial
-  permutations), no DimEl x DimEl matrix ever materializes
-- phonons:   block-diagonal broadcast + tridiagonal displacement coupling
-
-All functions are pure and jit-compatible with static shapes; `vmap` over a
-batch of vectors gives the blocked variants for free.
+All functions are pure and jit-compatible with static shapes.
 """
 from __future__ import annotations
 
@@ -28,27 +26,36 @@ import jax.numpy as jnp
 from ..hamiltonian import SectorHamiltonian
 
 
-def _ell_apply_last(cols, vals, v):
-    """y[..., i] = sum_k vals[i,k] * v[..., cols[i,k]] (up-hop factor)."""
-    # v: [..., N]; cols/vals: [N, K]
-    g = v[..., cols]                      # [..., N, K]
-    return jnp.einsum("...nk,nk->...n", g, vals)
+def _apply_factor_rows(cols, vals, v, out):
+    """out += sum_k vals[:,k] * v[..., cols[:,k], :] (row-gather per slot).
 
+    cols/vals: [N, K]; v/out: [..., N, M]. Gathers are along the
+    second-to-last axis (contiguous rows of length M).
+    """
+    colsT = cols.T                        # [K, N]
+    valsT = vals.T
 
-def _ell_apply_mid(cols, vals, v):
-    """y[..., i, :] = sum_k vals[i,k] * v[..., cols[i,k], :] (dw-hop factor)."""
-    g = v[..., cols, :]                   # [..., N, K, DimUp]
-    return jnp.einsum("...nku,nk->...nu", g, vals)
+    def body(k, acc):
+        idx = colsT[k]
+        w = valsT[k]
+        return acc + w[:, None] * v[..., idx, :]
+
+    return jax.lax.fori_loop(0, colsT.shape[0], body, out)
 
 
 def apply_h(h: SectorHamiltonian, v: jnp.ndarray) -> jnp.ndarray:
     """y = H v for one sector. v shaped [DimDw, DimUp] or [DimPh, DimDw, DimUp]."""
     has_ph = h.ph_diag is not None
     y = h.diag * v
-    y = y + _ell_apply_last(h.up_cols, h.up_vals, v)
-    y = y + _ell_apply_mid(h.dw_cols, h.dw_vals, v)
+    # dw hops: row gathers in the native layout
+    y = _apply_factor_rows(h.dw_cols, h.dw_vals, v, y)
+    # up hops: row gathers in the transposed layout
+    vt = jnp.swapaxes(v, -1, -2)          # [..., DimUp, DimDw]
+    yt = _apply_factor_rows(h.up_cols, h.up_vals, vt,
+                            jnp.zeros_like(vt))
+    y = y + jnp.swapaxes(yt, -1, -2)
     if h.nd_up_src is not None:
-        # sum_t B_t (x) A_t : tmp[.., jdw, iup] = A_val[iup] * v[.., jdw, A_src[iup]]
+        # sum_t B_t (x) A_t : each factor is a gather map
         def one_term(up_src, up_val, dw_src, dw_val):
             tmp = v[..., up_src] * up_val            # gather along up axis
             return tmp[..., dw_src, :] * dw_val[:, None]

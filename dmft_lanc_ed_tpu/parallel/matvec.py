@@ -88,16 +88,19 @@ def _matvec_block(h: SectorHamiltonian, v: jnp.ndarray, axis: str,
                   n: int) -> jnp.ndarray:
     """Per-shard body: v is the local [DimDw/n, DimUp] block (2D; phonon
     sectors currently run on the replicated path)."""
+    from ..ops.matvec import _apply_factor_rows
     dw_l, dup = v.shape
-    # local terms: diagonal + up hops (up index fully local per shard)
+    # local terms: diagonal + up hops (up index fully local per shard,
+    # applied as row gathers in the locally-transposed layout)
     y = h.diag * v
-    g = v[:, h.up_cols]                       # [dw_l, DimUp, K]
-    y = y + jnp.einsum("dnk,nk->dn", g, h.up_vals)
+    vt_loc = v.T                              # [DimUp, dw_l]
+    yt_loc = _apply_factor_rows(h.up_cols, h.up_vals, vt_loc,
+                                jnp.zeros_like(vt_loc))
+    y = y + yt_loc.T
     # dw hops via the all_to_all transpose (vector_transpose_MPI analogue):
     # [dw_l, DimUp] --a2a--> [DimDw, DimUp/n]: full dw, local up slice
     vt = jax.lax.all_to_all(v, axis, split_axis=1, concat_axis=0, tiled=True)
-    gt = vt[h.dw_cols, :]                      # [DimDw, K, up_l]
-    yt = jnp.einsum("dku,dk->du", gt, h.dw_vals)
+    yt = _apply_factor_rows(h.dw_cols, h.dw_vals, vt, jnp.zeros_like(vt))
     # transpose back: [DimDw, up_l] --a2a--> [dw_l, DimUp]
     yb = jax.lax.all_to_all(yt, axis, split_axis=0, concat_axis=1, tiled=True)
     y = y + yb
