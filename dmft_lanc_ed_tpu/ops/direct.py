@@ -1,0 +1,171 @@
+"""Matrix-free (direct) sector matvec.
+
+TPU-native re-design of ED_HAMILTONIAN_DIRECT_HxV.f90 + direct/*.f90
+(ED_SPARSE_H=F): instead of storing ELL hop tables, the connectivity of each
+single-particle hop term is recomputed on device from bit operations on the
+sector's state masks each matvec — trading FLOPs (popcount + binary search)
+for memory, exactly the reference's stored-vs-direct dial. It is also the
+second independent implementation of the hot operator, preserving the
+reference's built-in cross-validation (SURVEY.md §4.5): tests assert
+stored == direct on random vectors.
+
+Device-side per term (pos_create, pos_destroy, amp):
+  applicable sources: bit_d set, bit_c clear      (Jcondition)
+  target mask      = state XOR (bit_c | bit_d)
+  target row       = vectorized binary search over the sorted basis
+  JW sign          = parity of occupied levels below each position
+and the application is the same contiguous row-gather shape as the stored
+backend (output-row formulation).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bath import Bath, bath_levels
+from ..config import EDConfig
+from ..hamiltonian import _electron_diag
+from ..sectors import Sector, bath_stride
+
+
+def _popcount32(x: jnp.ndarray) -> jnp.ndarray:
+    x = x.astype(jnp.uint32)
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def _jw_sign(states: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """(-1)^(#occupied below pos); pos is a scalar (traced)."""
+    below = states & ((jnp.int32(1) << pos) - 1)
+    return 1 - 2 * (_popcount32(below) & 1)
+
+
+def _searchsorted(sorted_states: jnp.ndarray, queries: jnp.ndarray
+                  ) -> jnp.ndarray:
+    return jnp.searchsorted(sorted_states, queries).astype(jnp.int32)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DirectSectorOp:
+    """Matrix-free sector operator: states + term lists only."""
+    states_up: jnp.ndarray        # [du] int32 sorted masks
+    states_dw: jnp.ndarray        # [dd] int32
+    diag: jnp.ndarray             # [dd, du] (same memory class as the vector)
+    up_c: jnp.ndarray             # [Tu] int32 creation positions
+    up_d: jnp.ndarray             # [Tu] destruction positions
+    up_a: jnp.ndarray             # [Tu] amplitudes
+    dw_c: jnp.ndarray
+    dw_d: jnp.ndarray
+    dw_a: jnp.ndarray
+
+    @property
+    def dim_up(self) -> int:
+        return self.states_up.shape[0]
+
+    @property
+    def dim_dw(self) -> int:
+        return self.states_dw.shape[0]
+
+
+def _collect_terms(cfg: EDConfig, spin: int, hloc, diag_hybr, hbath
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(pos_c, pos_d, amp) for all single-particle hops of one spin."""
+    s = spin if cfg.nspin == 2 else 0
+    cc, dd_, aa = [], [], []
+
+    def add(c, d, a):
+        if a != 0.0:
+            cc.append(c)
+            dd_.append(d)
+            aa.append(a)
+
+    for a in range(cfg.norb):
+        for b in range(cfg.norb):
+            if a != b:
+                add(a, b, float(hloc[s, s, a, b]))
+    if cfg.bath_type == "replica" and hbath is not None:
+        for k in range(cfg.nbath):
+            for a in range(cfg.norb):
+                for b in range(cfg.norb):
+                    ia, ib = bath_stride(cfg, a, k), bath_stride(cfg, b, k)
+                    if ia != ib:
+                        add(ia, ib, float(hbath[s, s, a, b, k]))
+    for a in range(cfg.norb):
+        for k in range(cfg.nbath):
+            ia = bath_stride(cfg, a, k)
+            v = float(diag_hybr[s, a, k])
+            add(ia, a, v)
+            add(a, ia, v)
+    if not cc:
+        cc, dd_, aa = [0], [0], [0.0]
+    return (np.array(cc, np.int32), np.array(dd_, np.int32),
+            np.array(aa, np.float64))
+
+
+def build_direct_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray, bath: Bath,
+                    h_basis: Optional[np.ndarray] = None,
+                    dtype=None) -> DirectSectorOp:
+    """Assemble the matrix-free operator (directMatVec preparation)."""
+    assert cfg.ed_total_ud and cfg.dim_ph == 1 and cfg.jx == 0 and cfg.jp == 0, \
+        "direct backend: total_ud electron sectors only (no phonons/Jx/Jp yet)"
+    dtype = dtype or jnp.dtype(cfg.ed_dtype)
+    bath_diag, diag_hybr, hbath = bath_levels(cfg, bath, h_basis)
+    hloc = np.asarray(hloc, dtype=np.float64)
+    diag = _electron_diag(cfg, sec, hloc, bath_diag)
+    uc, ud, ua = _collect_terms(cfg, 0, hloc, diag_hybr, hbath)
+    dc, dd_, da = _collect_terms(cfg, 1, hloc, diag_hybr, hbath)
+    return DirectSectorOp(
+        states_up=jnp.asarray(sec.states_up[0].astype(np.int32)),
+        states_dw=jnp.asarray(sec.states_dw[0].astype(np.int32)),
+        diag=jnp.asarray(diag, dtype=dtype),
+        up_c=jnp.asarray(uc), up_d=jnp.asarray(ud),
+        up_a=jnp.asarray(ua, dtype=dtype),
+        dw_c=jnp.asarray(dc), dw_d=jnp.asarray(dd_),
+        dw_a=jnp.asarray(da, dtype=dtype))
+
+
+def _apply_direct_factor(states, pos_c, pos_d, amps, v, out):
+    """out[..., i, :] += sum_t amp_t sign_t(i) v[..., src_t(i), :].
+
+    Output-row form: output state must have bit_c occupied, bit_d empty
+    (post-hop); the source state is output XOR mask. Signs follow the
+    reference's c-then-cdg composition evaluated on the source state.
+    """
+    def body(t, acc):
+        c = pos_c[t]
+        d = pos_d[t]
+        amp = amps[t]
+        bit_c = jnp.int32(1) << c
+        bit_d = jnp.int32(1) << d
+        mask = bit_c | bit_d
+        ok = ((states & bit_c) != 0) & ((states & bit_d) == 0) & (c != d)
+        src_state = states ^ mask
+        src = _searchsorted(states, src_state)
+        src = jnp.where(ok, src, 0)
+        sg1 = _jw_sign(src_state, d)                 # c_d on source
+        sg2 = _jw_sign(src_state ^ bit_d, c)         # cdg_c after removal
+        w = jnp.where(ok, amp * (sg1 * sg2).astype(acc.dtype), 0.0)
+        return acc + w[:, None] * v[..., src, :]
+    return jax.lax.fori_loop(0, pos_c.shape[0], body, out)
+
+
+def apply_direct(op: DirectSectorOp, v: jnp.ndarray) -> jnp.ndarray:
+    """y = H v, computing the hop connectivity on the fly."""
+    y = op.diag * v
+    y = _apply_direct_factor(op.states_dw, op.dw_c, op.dw_d, op.dw_a, v, y)
+    vt = jnp.swapaxes(v, -1, -2)
+    yt = _apply_direct_factor(op.states_up, op.up_c, op.up_d, op.up_a, vt,
+                              jnp.zeros_like(vt))
+    return y + jnp.swapaxes(yt, -1, -2)
+
+
+def matvec_direct_flat(op: DirectSectorOp, v_flat: jnp.ndarray) -> jnp.ndarray:
+    v = v_flat.reshape(op.dim_dw, op.dim_up)
+    return apply_direct(op, v).reshape(-1)

@@ -1,0 +1,75 @@
+"""Stored vs matrix-free (direct) backend cross-check — the reference's
+ED_SPARSE_H oracle (SURVEY.md §4.5) — plus Hloc decomposition tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dmft_lanc_ed_tpu.config import EDConfig
+from dmft_lanc_ed_tpu.sectors import SectorTable, qn
+from dmft_lanc_ed_tpu.bath import Bath
+from dmft_lanc_ed_tpu.hamiltonian import build_sector_hamiltonian
+from dmft_lanc_ed_tpu.ops.matvec import apply_h
+from dmft_lanc_ed_tpu.ops.direct import build_direct_op, apply_direct
+from dmft_lanc_ed_tpu.hloc import decompose_hloc, h_from_sym, validate_basis
+
+RNG = np.random.default_rng(11)
+
+
+def _setup(cfg, sqn, seed=0, hloc=None):
+    rng = np.random.default_rng(seed)
+    norb_e = cfg.norb if cfg.bath_type == "normal" else 1
+    bath = Bath(
+        e=jnp.asarray(rng.normal(size=(cfg.nspin, norb_e, cfg.nbath))),
+        v=jnp.asarray(rng.normal(size=(cfg.nspin, cfg.norb, cfg.nbath)) * .5))
+    sec = SectorTable(cfg).sector(sqn)
+    if hloc is None:
+        hloc = rng.normal(size=(cfg.nspin, cfg.nspin, cfg.norb, cfg.norb)) * .2
+        hloc = (hloc + hloc.transpose(0, 1, 3, 2)) / 2
+    return sec, hloc, bath
+
+
+@pytest.mark.parametrize("cfg,sqn", [
+    (EDConfig(norb=1, nbath=4, uloc=(2.1,), xmu=0.1), ((2,), (3,))),
+    (EDConfig(norb=2, nbath=2, uloc=(1.5, 1.0), ust=0.4, jh=0.1), ((3,), (2,))),
+    (EDConfig(norb=2, nbath=3, uloc=(1.0, 1.0), bath_type="hybrid"),
+     ((2,), (2,))),
+])
+def test_direct_matches_stored(cfg, sqn):
+    sec, hloc, bath = _setup(cfg, sqn)
+    h = build_sector_hamiltonian(cfg, sec, hloc, bath)
+    op = build_direct_op(cfg, sec, hloc, bath)
+    v = RNG.normal(size=(sec.dim_dw, sec.dim_up))
+    y_stored = np.asarray(apply_h(h, jnp.asarray(v)))
+    y_direct = np.asarray(apply_direct(op, jnp.asarray(v)))
+    np.testing.assert_allclose(y_direct, y_stored, atol=1e-12)
+
+
+def test_direct_replica():
+    cfg = EDConfig(norb=2, nbath=2, uloc=(1.0, 1.0), bath_type="replica")
+    sec = SectorTable(cfg).sector(qn(2, 2))
+    hloc = np.zeros((1, 1, 2, 2))
+    hloc[0, 0] = np.array([[0.2, 0.1], [0.1, -0.2]])
+    h_basis, lam_imp = decompose_hloc(cfg, hloc)
+    lam = np.stack([lam_imp * 0.7, lam_imp * 1.2])
+    bath = Bath(lam=jnp.asarray(lam),
+                v_rep=jnp.asarray(np.array([[0.5], [0.6]])))
+    h = build_sector_hamiltonian(cfg, sec, hloc, bath, h_basis=h_basis)
+    op = build_direct_op(cfg, sec, hloc, bath, h_basis=h_basis)
+    v = RNG.normal(size=(sec.dim_dw, sec.dim_up))
+    np.testing.assert_allclose(np.asarray(apply_direct(op, jnp.asarray(v))),
+                               np.asarray(apply_h(h, jnp.asarray(v))),
+                               atol=1e-12)
+
+
+def test_hloc_decomposition_roundtrip():
+    cfg = EDConfig(norb=2, nbath=1, uloc=(1.0, 1.0), nspin=2)
+    rng = np.random.default_rng(3)
+    h = rng.normal(size=(2, 2, 2, 2)) * 0.5
+    # make it symmetric in the spin-orbital matrix sense
+    from dmft_lanc_ed_tpu.hloc import nn2so, so2nn
+    hso = nn2so(h, 2, 2)
+    hso = (hso + hso.T) / 2
+    h = so2nn(hso, 2, 2)
+    basis, lam = decompose_hloc(cfg, h)
+    validate_basis(cfg, basis)
+    np.testing.assert_allclose(h_from_sym(basis, lam), h, atol=1e-12)
