@@ -85,9 +85,9 @@ def _accumulate(cfg, hcache, sqn, vv, state_e, peso_f, chi: ChiPoles) -> None:
     if norm2 < 1e-28:
         return
     vv = vv / jnp.sqrt(norm2)
-    h = hcache(sqn)
-    m = min(h.dim, cfg.lanc_ngfiter)
-    alphas, betas = lanczos_tridiag(h, vv, m, matvec_flat)
+    op, op_apply = hcache(sqn)
+    m = min(vv.shape[0], cfg.lanc_ngfiter)
+    alphas, betas = lanczos_tridiag(op, vv, m, op_apply)
     theta, s = tridiag_eigh(alphas, betas)
     peso = norm2 * peso_f * (s[0, :] ** 2)
     de = theta - state_e

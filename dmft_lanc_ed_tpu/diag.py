@@ -25,8 +25,8 @@ from .bath import Bath
 from .config import EDConfig
 from .eigenspace import EigenState, StateList
 from .hamiltonian import build_sector_hamiltonian, dense_hamiltonian
+from .ops.factory import make_sector_op
 from .ops.lanczos import lanczos_ground_state
-from .ops.matvec import matvec_flat
 from .sectors import SectorQN, SectorTable
 
 log = logging.getLogger("dmft_lanc_ed_tpu")
@@ -76,36 +76,56 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
         neigen = min(dim, ctl.neigen_sector.get(sqn, cfg.lanc_nstates_sector)) \
             if finite_t else min(dim, cfg.lanc_nstates_sector)
         sec = table.sector(sqn)
-        h = build_sector_hamiltonian(cfg, sec, hloc, bath, h_basis=h_basis)
 
         lanc_solve = dim > max(cfg.lanc_dim_threshold, neigen)
         if lanc_solve:
+            op, op_apply = make_sector_op(cfg, sec, hloc, bath,
+                                          h_basis=h_basis)
             ncv = min(dim, cfg.lanc_ncv_factor * neigen + cfg.lanc_ncv_add)
             ncv = max(ncv, 2 * neigen + 16)
             evals, evecs = lanczos_ground_state(
-                h, matvec_flat, dim, neigen,
+                op, op_apply, dim, neigen,
                 ncv=min(ncv, dim),
                 tol=max(cfg.lanc_tolerance, 1e-14),
                 dtype=jnp.dtype(cfg.ed_dtype))
         else:
+            h = build_sector_hamiltonian(cfg, sec, hloc, bath,
+                                         h_basis=h_basis)
             dense = dense_hamiltonian(h)
             w, v = np.linalg.eigh(dense)
             evals, evecs = w[:neigen], v[:, :neigen].T
 
+        # twin reconstruction: the spin-flipped sector's eigenvector is the
+        # [dw, up] transpose of this one (flip_state/twin_sector_order
+        # analogue, trivial in our tensor-product layout)
+        twin_qn = table.twin(sqn) if cfg.ed_twin and sqn != table.twin(sqn) \
+            else None
+
+        def twin_vec(vec_flat):
+            v3 = vec_flat.reshape(sec.dim_ph, sec.dim_dw, sec.dim_up)
+            return jnp.swapaxes(v3, 1, 2).reshape(-1)
+
         for k in range(len(evals)):
             e = float(evals[k])
             vec = jnp.asarray(evecs[k])
-            if finite_t:
-                state_list.add(EigenState(sqn, e, vec))
-            else:
-                # T=0 ground-state window (ED_DIAG.f90:251-263)
-                if e < oldzero - 10.0 * cfg.gs_threshold:
-                    oldzero = e
-                    state_list = StateList(max_size=None)
-                    state_list.add(EigenState(sqn, e, vec))
-                elif abs(e - oldzero) <= cfg.gs_threshold:
-                    oldzero = min(oldzero, e)
-                    state_list.add(EigenState(sqn, e, vec))
+            adds = [(sqn, vec)]
+            if twin_qn is not None:
+                adds.append((twin_qn, twin_vec(vec)))
+            for qn_i, vec_i in adds:
+                if finite_t:
+                    state_list.add(EigenState(qn_i, e, vec_i,
+                                              twin=qn_i != sqn))
+                else:
+                    # T=0 ground-state window (ED_DIAG.f90:251-263)
+                    if e < oldzero - 10.0 * cfg.gs_threshold:
+                        oldzero = e
+                        state_list = StateList(max_size=None)
+                        state_list.add(EigenState(qn_i, e, vec_i,
+                                                  twin=qn_i != sqn))
+                    elif abs(e - oldzero) <= cfg.gs_threshold:
+                        oldzero = min(oldzero, e)
+                        state_list.add(EigenState(qn_i, e, vec_i,
+                                                  twin=qn_i != sqn))
     _post_diag(cfg, state_list, ctl)
     return state_list
 

@@ -115,17 +115,18 @@ def apply_op(cfg: EDConfig, sec_from: Sector, sec_to: Sector, vec: jnp.ndarray,
 # Lanczos GF builder
 # --------------------------------------------------------------------------
 class HCache:
-    """Per-solve cache of sector Hamiltonians (build once per sector)."""
+    """Per-solve cache of sector operators (build once per sector); returns
+    (op, apply_fn) pairs from the backend factory."""
 
     def __init__(self, cfg: EDConfig, table: SectorTable, hloc, bath: Bath,
                  h_basis=None):
-        from .hamiltonian import build_sector_hamiltonian
-        self._build = lambda sec: build_sector_hamiltonian(
+        from .ops.factory import make_sector_op
+        self._build = lambda sec: make_sector_op(
             cfg, sec, hloc, bath, h_basis=h_basis)
         self.table = table
-        self._cache: Dict[SectorQN, SectorHamiltonian] = {}
+        self._cache: Dict[SectorQN, tuple] = {}
 
-    def __call__(self, sqn: SectorQN) -> SectorHamiltonian:
+    def __call__(self, sqn: SectorQN):
         if sqn not in self._cache:
             self._cache[sqn] = self._build(self.table.sector(sqn))
         return self._cache[sqn]
@@ -153,9 +154,9 @@ def _one_excitation(cfg: EDConfig, table: SectorTable, hcache: HCache,
     if norm2 < 1e-28:
         return
     vv = vv / jnp.sqrt(norm2)
-    h = hcache(jqn)
+    op, op_apply = hcache(jqn)
     m = min(sec_j.dim, cfg.lanc_ngfiter)
-    alphas, betas = lanczos_tridiag(h, vv, m, matvec_flat)
+    alphas, betas = lanczos_tridiag(op, vv, m, op_apply)
     theta, s = tridiag_eigh(alphas, betas)
     weights = norm2 * peso_bz * (s[0, :] ** 2)
     poles = isign * (theta - state_e)

@@ -1,0 +1,68 @@
+"""Feature cross-checks: twin sectors, finite-T, backend dispatch."""
+import numpy as np
+import pytest
+
+from dmft_lanc_ed_tpu.config import EDConfig
+from dmft_lanc_ed_tpu.solver import EDSolver
+from dmft_lanc_ed_tpu.bath import init_bath, pack_bath
+
+
+def _solve(cfg, hloc=None, bath=None):
+    hloc = hloc if hloc is not None else np.zeros(
+        (cfg.nspin, cfg.nspin, cfg.norb, cfg.norb))
+    solver = EDSolver(cfg, hloc)
+    b = pack_bath(cfg, bath or init_bath(cfg))
+    return solver.solve(b)
+
+
+def test_twin_sectors_match_full_scan():
+    """ED_TWIN=T must reproduce the full-scan results (spin-symmetric case)."""
+    cfg = EDConfig(norb=1, nbath=3, uloc=(1.7,), beta=50.0, lmats=64,
+                   lreal=30)
+    res_full = _solve(cfg)
+    res_twin = _solve(cfg.replace(ed_twin=True))
+    assert abs(res_full.observables.egs - res_twin.observables.egs) < 1e-10
+    assert res_full.state_list.size == res_twin.state_list.size
+    np.testing.assert_allclose(res_twin.g_mats[0, 0, 0, 0],
+                               res_full.g_mats[0, 0, 0, 0], atol=1e-8)
+    np.testing.assert_allclose(res_twin.observables.dens,
+                               res_full.observables.dens, atol=1e-10)
+
+
+def test_finite_t_matches_full_ed():
+    """Finite-T Krylov thermal averages vs exact full-ED at moderate beta."""
+    beta = 4.0
+    cfg_full = EDConfig(norb=1, nbath=2, uloc=(1.5,), beta=beta, lmats=64,
+                        lreal=20, ed_diag_type="full", ed_finite_temp=True,
+                        lanc_nstates_total=4096)
+    res_full = _solve(cfg_full)
+    cfg_lanc = cfg_full.replace(
+        ed_diag_type="lanc", lanc_nstates_total=60, lanc_nstates_sector=12,
+        lanc_dim_threshold=4096, cutoff=1e-10)
+    res_lanc = _solve(cfg_lanc)
+    # densities agree to the Boltzmann tail cut by the state list
+    assert abs(res_full.observables.dens[0]
+               - res_lanc.observables.dens[0]) < 2e-3
+    assert abs(res_full.observables.docc[0]
+               - res_lanc.observables.docc[0]) < 2e-3
+    np.testing.assert_allclose(res_lanc.g_mats[0, 0, 0, 0],
+                               res_full.g_mats[0, 0, 0, 0], atol=5e-3)
+
+
+def test_direct_backend_solver_end_to_end():
+    """ed_backend='direct' reproduces the stored-backend solve."""
+    cfg = EDConfig(norb=1, nbath=4, uloc=(2.0,), beta=100.0, lmats=64,
+                   lreal=20, lanc_dim_threshold=8)   # force Krylov everywhere
+    res_ell = _solve(cfg)
+    res_dir = _solve(cfg.replace(ed_backend="direct"))
+    assert abs(res_ell.observables.egs - res_dir.observables.egs) < 1e-9
+    np.testing.assert_allclose(res_dir.g_mats[0, 0, 0, 0],
+                               res_ell.g_mats[0, 0, 0, 0], atol=1e-6)
+
+
+def test_ed_sparse_h_flag_dispatch():
+    """ED_SPARSE_H=F routes to the direct backend via 'auto'."""
+    cfg = EDConfig(norb=1, nbath=3, uloc=(1.0,), ed_sparse_h=False,
+                   lmats=32, lreal=16, lanc_dim_threshold=8)
+    res = _solve(cfg)     # must run through without error
+    assert abs(res.observables.dens[0] - 1.0) < 1e-8
