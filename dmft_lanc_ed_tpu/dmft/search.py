@@ -11,12 +11,35 @@ import numpy as np
 
 
 class DensitySearch:
-    def __init__(self, nread: float, nerr: float = 1e-4, ndelta: float = 0.1):
+    RESTART_FILE = "var_compressibility.restart"
+
+    def __init__(self, nread: float, nerr: float = 1e-4, ndelta: float = 0.1,
+                 workdir: str = "."):
         self.nread = nread
         self.nerr = nerr
         self.ndelta = ndelta
         self._prev_mu = None
         self._prev_n = None
+        self.workdir = workdir
+        self._load()
+
+    def _load(self):
+        import os
+        path = os.path.join(self.workdir, self.RESTART_FILE)
+        if os.path.exists(path):
+            try:
+                vals = [float(x) for x in open(path).read().split()]
+                if len(vals) >= 3:
+                    self._prev_mu, self._prev_n, self.ndelta = vals[:3]
+            except (ValueError, OSError):
+                pass
+
+    def save(self):
+        import os
+        path = os.path.join(self.workdir, self.RESTART_FILE)
+        if self._prev_mu is not None:
+            with open(path, "w") as fh:
+                fh.write(f"{self._prev_mu} {self._prev_n} {self.ndelta}\n")
 
     def update(self, xmu: float, dens: float, converged: bool):
         """Returns (new_xmu, still_converged)."""
@@ -33,4 +56,5 @@ class DensitySearch:
         else:
             step = -np.sign(err) * self.ndelta
         self._prev_mu, self._prev_n = xmu, dens
+        self.save()
         return xmu + step, False

@@ -140,8 +140,9 @@ def _one_excitation(cfg: EDConfig, table: SectorTable, hcache: HCache,
                     jqn_override: Optional[SectorQN] = None) -> None:
     """One ADD/REMOVE branch: excite, tridiagonalize, accumulate poles."""
     isign = +1 if create else -1
-    jqn = jqn_override or (table.cdg_sector(sqn, 0, ispin) if create
-                           else table.c_sector(sqn, 0, ispin))
+    iud = iorb if table.ns_ud > 1 else 0
+    jqn = jqn_override or (table.cdg_sector(sqn, iud, ispin) if create
+                           else table.c_sector(sqn, iud, ispin))
     if jqn is None:
         return
     sec_i = table.sector(sqn)
@@ -156,6 +157,8 @@ def _one_excitation(cfg: EDConfig, table: SectorTable, hcache: HCache,
     vv = vv / jnp.sqrt(norm2)
     op, op_apply = hcache(jqn)
     m = min(sec_j.dim, cfg.lanc_ngfiter)
+    from .utils.observability import kernel_stats
+    kernel_stats.record(m, getattr(op, "nnz", 0))
     alphas, betas = lanczos_tridiag(op, vv, m, op_apply)
     theta, s = tridiag_eigh(alphas, betas)
     weights = norm2 * peso_bz * (s[0, :] ** 2)

@@ -249,8 +249,22 @@ def build_sector_hamiltonian(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
                              bath: Bath,
                              h_basis: Optional[np.ndarray] = None,
                              dtype=None) -> SectorHamiltonian:
-    """Assemble all factors of one sector Hamiltonian (ed_buildh_main)."""
-    assert cfg.ed_total_ud, "orbital-resolved (ed_total_ud=F) not yet wired"
+    """Assemble all factors of one sector Hamiltonian (ed_buildh_main).
+
+    Works for both ed_total_ud modes: in the orbital-resolved mode the
+    sector carries sorted composite masks, and since the per-channel QNs
+    forbid inter-channel hops (checked in config), the same ELL assembly
+    applies unchanged (replacing the reference's *_orbs code paths).
+    """
+    if not cfg.ed_total_ud:
+        if cfg.norb > 1 and (cfg.jx != 0.0 or cfg.jp != 0.0):
+            raise ValueError("ed_total_ud=F incompatible with Jx/Jp "
+                             "(ED_SETUP ed_checks_global)")
+        off = np.asarray(hloc) - np.asarray(
+            [[np.diag(np.diagonal(hloc[s1, s2]))
+              for s2 in range(cfg.nspin)] for s1 in range(cfg.nspin)])
+        if np.abs(off).max() > 1e-12:
+            raise ValueError("ed_total_ud=F requires orbital-diagonal Hloc")
     dtype = dtype or jnp.dtype(cfg.ed_dtype)
     bath_diag, diag_hybr, hbath = bath_levels(cfg, bath, h_basis)
     hloc = np.asarray(hloc, dtype=np.float64)

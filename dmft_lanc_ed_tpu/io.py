@@ -248,6 +248,61 @@ def read_bath_restart(cfg: EDConfig, outdir: str = ".", suffix: str = ""
     raise NotImplementedError("replica bath restart read")
 
 
+def write_occupation_prob(cfg: EDConfig, obs: Observables, outdir: str = ".",
+                          suffix: str = "") -> None:
+    """Occupation_prob.ed (3^Norb configuration table), Nph_probability.ed,
+    lattice_prob.ed (ED_OBSERVABLES.f90:1019-1144)."""
+    if obs.occ_prob is not None:
+        with open(os.path.join(outdir, f"Occupation_prob{suffix}.ed"),
+                  "w") as fh:
+            for code, p in enumerate(obs.occ_prob):
+                cfgs = []
+                c = code
+                for _ in range(cfg.norb):
+                    cfgs.append(str(c % 3))
+                    c //= 3
+                fh.write(f"{''.join(cfgs):>6s} {p:15.9f}\n")
+    if obs.ph_occ is not None:
+        with open(os.path.join(outdir, f"Nph_probability{suffix}.ed"),
+                  "w") as fh:
+            fh.write(" ".join(f"{p:15.9f}" for p in obs.ph_occ) + "\n")
+    if obs.x_prob is not None:
+        _splot(os.path.join(outdir, f"lattice_prob{suffix}.ed"),
+               obs.x_grid, obs.x_prob)
+
+
+def read_state_list_restart(cfg: EDConfig, outdir: str = ".",
+                            suffix: str = ""):
+    """Re-seed the diagonalization control state from state_list.restart
+    (setup_global restart branch, ED_SETUP.f90:319-345). Returns a
+    DiagState or None."""
+    from .diag import DiagState
+    path = os.path.join(outdir, f"state_list{suffix}.restart")
+    if not os.path.exists(path):
+        path = os.path.join(outdir, f"state_list{suffix}.ed")
+        if not os.path.exists(path):
+            return None
+    counts = {}
+    n = 0
+    with open(path) as fh:
+        for line in fh:
+            parts = line.replace("[", " ").replace("]", " ").split()
+            if len(parts) < 3:
+                continue
+            n += 1
+            nups = tuple(int(x) for x in parts[3:3 + cfg.ns_ud])
+            ndws = tuple(int(x) for x in parts[3 + cfg.ns_ud:3 + 2 * cfg.ns_ud])
+            qn_i = (nups, ndws)
+            counts[qn_i] = counts.get(qn_i, 0) + 1
+    if n == 0:
+        return None
+    ctl = DiagState(lanc_nstates_total=max(n, 1))
+    for qn_i, c in counts.items():
+        ctl.neigen_sector[qn_i] = max(1, c)
+    ctl.sector_hint = list(counts)
+    return ctl
+
+
 def write_state_list(cfg: EDConfig, state_list: StateList, outdir: str = ".",
                      suffix: str = "") -> None:
     """state_list.ed + sectors_list.restart (ed_post_diag outputs)."""
@@ -275,6 +330,7 @@ def write_all(cfg: EDConfig, res: SolveResult, bath_array: np.ndarray,
         print_impg0(cfg, res, outdir, suffix)
     write_observables(cfg, res.observables, outdir, suffix)
     write_energy(cfg, res.observables, outdir, suffix)
+    write_occupation_prob(cfg, res.observables, outdir, suffix)
     write_state_list(cfg, res.state_list, outdir, suffix)
     save_bath(cfg, bath_array, outdir, suffix, used=True)
     save_bath(cfg, bath_array, outdir, suffix, used=False)

@@ -57,6 +57,9 @@ class Observables:
     ph_occ: Optional[Array] = None   # [dim_ph] occupation probability
     x_ph: float = 0.0                # <x> lattice displacement
     x2_ph: float = 0.0
+    x_prob: Optional[Array] = None   # [lpos] displacement PDF (lattice_prob)
+    x_grid: Optional[Array] = None
+    occ_prob: Optional[Array] = None  # [3^norb] occupation configurations
     # Matsubara-derived
     zimp: Array = None          # [nspin, norb]
     simp: Array = None
@@ -114,12 +117,59 @@ def observables_impurity(cfg: EDConfig, table: SectorTable,
         # phonons
         if cfg.dim_ph > 1:
             obs.ph_occ += peso * np.asarray(rho2.sum(axis=(1, 2)))
+            rho_ph = np.asarray(jnp.einsum(
+                "pdu,qdu->pq", v, v))           # phonon density matrix
+            obs.x_ph += peso * float(np.trace(rho_ph @ _x_matrix(cfg.dim_ph)))
+            if obs.x_prob is None:
+                obs.x_prob = np.zeros(cfg.lpos)
+                obs.x_grid = np.linspace(cfg.xmin, cfg.xmax, cfg.lpos)
+            obs.x_prob += peso * _displacement_pdf(rho_ph, obs.x_grid)
+        # occupation-configuration probabilities (Occupation_prob.ed):
+        # joint distribution over (empty/single/double) per orbital
+        code = np.zeros((sec.dim_dw, sec.dim_up), dtype=np.int64)
+        ou = np.asarray(occ_up)
+        od = np.asarray(occ_dw)
+        for a in range(norb):
+            n_a = ou[None, :, a] + od[:, None, a]
+            code += (3 ** a) * n_a.astype(np.int64)
+        w_el = np.asarray(rho2.sum(axis=0))
+        if obs.occ_prob is None:
+            obs.occ_prob = np.zeros(3 ** norb)
+        obs.occ_prob += peso * np.bincount(code.reshape(-1),
+                                           weights=w_el.reshape(-1),
+                                           minlength=3 ** norb)
 
     obs.s2tot = float(obs.sz2.sum())
     if cfg.dim_ph > 1:
         nvec = np.arange(cfg.dim_ph)
         obs.x2_ph = float(((2 * nvec + 1) * obs.ph_occ).sum())
     return obs
+
+
+def _x_matrix(dim_ph: int) -> Array:
+    x = np.zeros((dim_ph, dim_ph))
+    for p in range(dim_ph - 1):
+        x[p, p + 1] = np.sqrt(p + 1.0)
+        x[p + 1, p] = np.sqrt(p + 1.0)
+    return x
+
+
+def _hermite_functions(nmax: int, x: Array) -> Array:
+    """Orthonormal harmonic-oscillator wavefunctions phi_n(x), n < nmax."""
+    phi = np.zeros((nmax, len(x)))
+    phi[0] = np.pi ** -0.25 * np.exp(-0.5 * x * x)
+    if nmax > 1:
+        phi[1] = np.sqrt(2.0) * x * phi[0]
+    for n in range(2, nmax):
+        phi[n] = (np.sqrt(2.0 / n) * x * phi[n - 1]
+                  - np.sqrt((n - 1.0) / n) * phi[n - 2])
+    return phi
+
+
+def _displacement_pdf(rho_ph: Array, x: Array) -> Array:
+    """P(x) = sum_pq rho_pq phi_p(x) phi_q(x) (lattice_prob.ed content)."""
+    phi = _hermite_functions(rho_ph.shape[0], x)
+    return np.einsum("pq,px,qx->x", rho_ph, phi, phi)
 
 
 def _density_matrix(cfg: EDConfig, sec: Sector, v: jnp.ndarray) -> Array:

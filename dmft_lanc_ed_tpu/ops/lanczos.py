@@ -163,8 +163,10 @@ def lanczos_ground_state(
         v0 = jax.random.normal(sub, (dim,), dtype)
     v0 = v0 / jnp.linalg.norm(v0)
 
+    from ..utils.observability import kernel_stats
     for _ in range(max_restarts):
         res = _build_basis(op, v0, locked_vecs, m, op_apply)
+        kernel_stats.record(m, getattr(op, "nnz", 0))
         theta_np, s_np = tridiag_eigh(res.alphas, res.betas)
         s = jnp.asarray(s_np)
         resid_np = np.abs(float(res.beta_last) * s_np[-1, :])

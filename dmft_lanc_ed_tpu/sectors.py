@@ -183,12 +183,46 @@ class SectorTable:
     def sector(self, sqn: SectorQN) -> Sector:
         sqn = (tuple(sqn[0]), tuple(sqn[1]))
         if sqn not in self._basis_cache:
-            ups = tuple(enumerate_states(self.ns_orb, n) for n in sqn[0])
-            dws = tuple(enumerate_states(self.ns_orb, n) for n in sqn[1])
+            if self.ns_ud == 1:
+                ups = tuple(enumerate_states(self.ns_orb, n) for n in sqn[0])
+                dws = tuple(enumerate_states(self.ns_orb, n) for n in sqn[1])
+            else:
+                # orbital-resolved (ed_total_ud=F): composite masks over the
+                # full Ns levels with fixed per-channel particle counts.
+                # Working with sorted composite masks lets every downstream
+                # component (hop_entries, op_map, observables) apply
+                # unchanged (the reference instead nests per-channel index
+                # tuples, *_orbs code paths).
+                ups = (self._composite_states(sqn[0]),)
+                dws = (self._composite_states(sqn[1]),)
             self._basis_cache[sqn] = Sector(
-                qn=sqn, ns_orb=self.ns_orb, dim_ph=self.dim_ph,
+                qn=sqn, ns_orb=self.ns if self.ns_ud > 1 else self.ns_orb,
+                dim_ph=self.dim_ph,
                 states_up=ups, states_dw=dws)
         return self._basis_cache[sqn]
+
+    def _channel_levels(self, iud: int) -> List[int]:
+        """Global level indices of ud-channel iud (breorder geometry)."""
+        levels = [iud]
+        for k in range(self.cfg.nbath):
+            levels.append(bath_stride(self.cfg, iud, k))
+        return levels
+
+    def _composite_states(self, counts: Sequence[int]) -> np.ndarray:
+        """Sorted full-Ns masks with per-channel popcounts == counts."""
+        from itertools import product as iproduct
+        per_channel = []
+        for iud, n in enumerate(counts):
+            lvls = np.array(self._channel_levels(iud))
+            local = enumerate_states(self.ns_orb, n)
+            masks = np.zeros(len(local), dtype=np.int64)
+            for j, lv in enumerate(lvls):
+                masks |= (((local >> j) & 1) << int(lv))
+            per_channel.append(masks)
+        combo = per_channel[0]
+        for masks in per_channel[1:]:
+            combo = (combo[:, None] | masks[None, :]).reshape(-1)
+        return np.sort(combo)
 
     def dim(self, sqn: SectorQN) -> int:
         nups, ndws = sqn

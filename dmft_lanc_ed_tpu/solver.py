@@ -104,6 +104,8 @@ class EDSolver:
             nsym = self.h_basis.shape[0] if self.h_basis is not None else None
             bath = unpack_bath(cfg, np.asarray(bath), nsym=nsym)
 
+        from .utils.observability import kernel_stats
+        kernel_stats.reset()
         timings = {}
         t0 = time.perf_counter()
         state_list = diagonalize_impurity(cfg, self.table, self.hloc, bath,
@@ -156,6 +158,9 @@ class EDSolver:
                                                 state_list)
 
         timings["total"] = time.perf_counter() - t_all
+        kernel_stats.seconds = timings["diag"] + timings["gf"]
+        timings.update({f"kernel_{k}": v
+                        for k, v in kernel_stats.summary().items()})
         result = SolveResult(
             sigma_mats=sigma_mats, sigma_real=sigma_real,
             g_mats=g_mats, g_real=g_real,

@@ -66,3 +66,32 @@ def test_ed_sparse_h_flag_dispatch():
                    lmats=32, lreal=16, lanc_dim_threshold=8)
     res = _solve(cfg)     # must run through without error
     assert abs(res.observables.dens[0] - 1.0) < 1e-8
+
+
+def test_total_ud_false_matches_true():
+    """Orbital-resolved QNs (ed_total_ud=F) must reproduce the total-QN
+    results for an orbital-diagonal model (the sectors merely refine)."""
+    hloc = np.zeros((1, 1, 2, 2))
+    hloc[0, 0] = np.diag([0.1, -0.1])
+    cfg_t = EDConfig(norb=2, nbath=2, uloc=(1.4, 1.4), ust=0.6, jh=0.15,
+                     beta=50.0, lmats=64, lreal=20)
+    cfg_f = cfg_t.replace(ed_total_ud=False)
+    res_t = _solve(cfg_t, hloc=hloc)
+    res_f = _solve(cfg_f, hloc=hloc)
+    assert abs(res_t.observables.egs - res_f.observables.egs) < 1e-9
+    np.testing.assert_allclose(res_f.observables.dens,
+                               res_t.observables.dens, atol=1e-8)
+    np.testing.assert_allclose(res_f.observables.docc,
+                               res_t.observables.docc, atol=1e-8)
+    for a in range(2):
+        np.testing.assert_allclose(res_f.g_mats[0, 0, a, a],
+                                   res_t.g_mats[0, 0, a, a], atol=1e-7)
+
+
+def test_total_ud_false_rejects_offdiag_hloc():
+    hloc = np.zeros((1, 1, 2, 2))
+    hloc[0, 0] = np.array([[0.0, 0.3], [0.3, 0.0]])
+    cfg = EDConfig(norb=2, nbath=1, uloc=(1.0, 1.0), ed_total_ud=False,
+                   lmats=16, lreal=8)
+    with pytest.raises(ValueError):
+        _solve(cfg, hloc=hloc)
