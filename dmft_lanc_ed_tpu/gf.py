@@ -251,6 +251,7 @@ def build_gf_full(cfg: EDConfig, table: SectorTable,
     """
     gf = GFData()
     beta = cfg.beta
+    offdiag = cfg.ed_solve_offdiag_gf or cfg.bath_type != "normal"
     # group by sector
     by_sector: Dict[SectorQN, List] = {}
     for st in state_list.states:
@@ -258,31 +259,59 @@ def build_gf_full(cfg: EDConfig, table: SectorTable,
     e0 = state_list.emin
     zeta = sum(np.exp(-beta * (st.e - e0)) for st in state_list.states)
     for ispin in range(cfg.nspin):
-        for iorb in range(cfg.norb):
-            ch = gf.get((ispin, iorb, iorb))
-            wlist, plist = [], []
-            for sqn, states_i in by_sector.items():
+        accum: Dict[Tuple[int, int], list] = {}
+        for sqn, states_i in by_sector.items():
+            if table.ns_ud == 1:
                 jqn = table.cdg_sector(sqn, 0, ispin)
                 if jqn is None or jqn not in by_sector:
                     continue
                 sec_i, sec_j = table.sector(sqn), table.sector(jqn)
                 vecs_i = jnp.stack([s.vec for s in states_i])
-                mapped = jnp.stack([
-                    apply_op(cfg, sec_i, sec_j, v, iorb, ispin, True)
-                    for v in vecs_i])                      # [Ni, dim_j]
                 vecs_j = jnp.stack([s.vec for s in by_sector[jqn]])
-                amp = np.asarray(vecs_j @ mapped.T)        # [Nj, Ni]
+                amps = {}
+                for a in range(cfg.norb):
+                    mapped = jnp.stack([
+                        apply_op(cfg, sec_i, sec_j, v, a, ispin, True)
+                        for v in vecs_i])                  # [Ni, dim_j]
+                    amps[a] = np.asarray(vecs_j @ mapped.T)  # [Nj, Ni]
                 ei = np.array([s.e for s in states_i])
                 ej = np.array([s.e for s in by_sector[jqn]])
                 wb = (np.exp(-beta * (ei[None, :] - e0))
                       + np.exp(-beta * (ej[:, None] - e0)))
-                w = (amp ** 2) * wb / zeta
                 p = ej[:, None] - ei[None, :]
-                keep = np.abs(w) > cfg.cutoff * 1e-3
-                wlist.append(w[keep])
-                plist.append(p[keep])
-            if wlist:
-                ch.add(np.concatenate(wlist), np.concatenate(plist))
+                for a in range(cfg.norb):
+                    for b in range(cfg.norb):
+                        if a != b and not offdiag:
+                            continue
+                        w = amps[a] * amps[b] * wb / zeta
+                        keep = np.abs(w) > cfg.cutoff * 1e-3
+                        accum.setdefault((a, b), []).append(
+                            (w[keep], p[keep]))
+            else:
+                # orbital-resolved: each orbital has its own target sector
+                for a in range(cfg.norb):
+                    jqn = table.cdg_sector(sqn, a, ispin)
+                    if jqn is None or jqn not in by_sector:
+                        continue
+                    sec_i, sec_j = table.sector(sqn), table.sector(jqn)
+                    vecs_i = jnp.stack([s.vec for s in states_i])
+                    vecs_j = jnp.stack([s.vec for s in by_sector[jqn]])
+                    mapped = jnp.stack([
+                        apply_op(cfg, sec_i, sec_j, v, a, ispin, True)
+                        for v in vecs_i])
+                    amp = np.asarray(vecs_j @ mapped.T)
+                    ei = np.array([s.e for s in states_i])
+                    ej = np.array([s.e for s in by_sector[jqn]])
+                    wb = (np.exp(-beta * (ei[None, :] - e0))
+                          + np.exp(-beta * (ej[:, None] - e0)))
+                    w = (amp ** 2) * wb / zeta
+                    p = ej[:, None] - ei[None, :]
+                    keep = np.abs(w) > cfg.cutoff * 1e-3
+                    accum.setdefault((a, a), []).append((w[keep], p[keep]))
+        for (a, b), lst in accum.items():
+            ch = gf.get((ispin, a, b))
+            ch.add(np.concatenate([x[0] for x in lst]),
+                   np.concatenate([x[1] for x in lst]))
     return gf
 
 

@@ -340,3 +340,27 @@ def write_all(cfg: EDConfig, res: SolveResult, bath_array: np.ndarray,
         print_chi(cfg, res.chi_dens, "dens", outdir, suffix)
     if res.gf_phonon is not None:
         print_impd(cfg, res.gf_phonon, outdir, suffix)
+
+
+def read_gf_files(cfg: EDConfig, prefix: str = "impSigma", outdir: str = ".",
+                  suffix: str = "", axis: str = "iw") -> np.ndarray:
+    """Read back imp{Sigma,G,G0} .ed files (ed_read_impSigma_single,
+    ED_IO.f90:500-595). Returns [nspin,nspin,norb,norb,L] complex."""
+    L = cfg.lmats if axis == "iw" else cfg.lreal
+    out = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, L),
+                   dtype=np.complex128)
+    offdiag = cfg.ed_solve_offdiag_gf or cfg.bath_type != "normal"
+    for s in range(cfg.nspin):
+        for a in range(cfg.norb):
+            for b in range(cfg.norb):
+                if a != b and not offdiag:
+                    continue
+                path = os.path.join(
+                    outdir, f"{prefix}_l{a + 1}{b + 1}_s{s + 1}"
+                    f"_{axis}{suffix}.ed")
+                if not os.path.exists(path):
+                    continue
+                data = np.loadtxt(path)
+                n = min(L, data.shape[0])
+                out[s, s, a, b, :n] = data[:n, 2] + 1j * data[:n, 1]
+    return out
