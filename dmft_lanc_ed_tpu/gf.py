@@ -32,7 +32,7 @@ from .bath_functions import invg0_bath, g0and_bath
 from .config import EDConfig
 from .eigenspace import StateList
 from .hamiltonian import SectorHamiltonian
-from .ops.lanczos import lanczos_tridiag, tridiag_eigh
+from .ops.lanczos import (lanczos_tridiag, lanczos_tridiag_batched, tridiag_eigh)
 from .ops.matvec import matvec_flat
 from .sectors import Sector, SectorQN, SectorTable, op_map
 
@@ -138,7 +138,10 @@ def _one_excitation(cfg: EDConfig, table: SectorTable, hcache: HCache,
                     peso_bz: float, gf: GFPoles,
                     op_vec: Optional[jnp.ndarray] = None,
                     jqn_override: Optional[SectorQN] = None) -> None:
-    """One ADD/REMOVE branch: excite, tridiagonalize, accumulate poles."""
+    """One ADD/REMOVE branch: excite, tridiagonalize, accumulate poles.
+
+    Unbatched form, kept for API parity; the solver path batches through
+    :class:`_ExcBatcher`."""
     isign = +1 if create else -1
     iud = iorb if table.ns_ud > 1 else 0
     jqn = jqn_override or (table.cdg_sector(sqn, iud, ispin) if create
@@ -147,10 +150,8 @@ def _one_excitation(cfg: EDConfig, table: SectorTable, hcache: HCache,
         return
     sec_i = table.sector(sqn)
     sec_j = table.sector(jqn)
-    if op_vec is None:
-        vv = apply_op(cfg, sec_i, sec_j, state_vec, iorb, ispin, create)
-    else:
-        vv = op_vec
+    vv = op_vec if op_vec is not None else apply_op(
+        cfg, sec_i, sec_j, state_vec, iorb, ispin, create)
     norm2 = float(jnp.vdot(vv, vv).real)
     if norm2 < 1e-28:
         return
@@ -167,12 +168,74 @@ def _one_excitation(cfg: EDConfig, table: SectorTable, hcache: HCache,
     gf.add(weights[keep], poles[keep])
 
 
+class _ExcBatcher:
+    """Collects excitation vectors by target sector, then runs them through
+    one vmapped Lanczos scan per sector (batched continued fractions): the
+    matvec streams each sector's factor tables once for the whole batch,
+    replacing the reference's sequential per-orbital/per-state GF loops."""
+
+    def __init__(self, cfg: EDConfig, hcache: HCache, max_bytes=1 << 27):
+        self.cfg = cfg
+        self.hcache = hcache
+        self.groups: Dict[SectorQN, List] = {}
+        self.max_bytes = max_bytes
+
+    def add(self, jqn: SectorQN, vv: jnp.ndarray, norm2: float,
+            state_e: float, isign: int, peso: float, gf: GFPoles) -> None:
+        self.groups.setdefault(jqn, []).append(
+            (vv, norm2, state_e, isign, peso, gf))
+
+    def run(self) -> None:
+        from .utils.observability import kernel_stats
+        for jqn, tasks in self.groups.items():
+            op, op_apply = self.hcache(jqn)
+            dim = tasks[0][0].shape[0]
+            m = min(dim, self.cfg.lanc_ngfiter)
+            bmax = max(1, self.max_bytes // max(dim * 8, 1))
+            for i0 in range(0, len(tasks), bmax):
+                chunk = tasks[i0:i0 + bmax]
+                v0 = jnp.stack([t[0] for t in chunk])
+                kernel_stats.record(m * len(chunk), getattr(op, "nnz", 0))
+                a_b, b_b = lanczos_tridiag_batched(op, v0, m, op_apply)
+                a_np = np.asarray(a_b)
+                b_np = np.asarray(b_b)
+                for t, a, b in zip(chunk, a_np, b_np):
+                    _, norm2, state_e, isign, peso, gf = t
+                    theta, s = tridiag_eigh(a, b)
+                    weights = norm2 * peso * (s[0, :] ** 2)
+                    poles = isign * (theta - state_e)
+                    keep = np.abs(weights) > 1e-30
+                    gf.add(weights[keep], poles[keep])
+        self.groups.clear()
+
+
+def _queue_excitation(cfg, table, batcher: _ExcBatcher, st, iorb, ispin,
+                      create, peso, gf: GFPoles,
+                      op_vec=None, jqn_override=None) -> None:
+    isign = +1 if create else -1
+    iud = iorb if table.ns_ud > 1 else 0
+    jqn = jqn_override or (table.cdg_sector(st.qn, iud, ispin) if create
+                           else table.c_sector(st.qn, iud, ispin))
+    if jqn is None:
+        return
+    sec_i = table.sector(st.qn)
+    sec_j = table.sector(jqn)
+    vv = op_vec if op_vec is not None else apply_op(
+        cfg, sec_i, sec_j, st.vec, iorb, ispin, create)
+    norm2 = float(jnp.vdot(vv, vv).real)
+    if norm2 < 1e-28:
+        return
+    batcher.add(jqn, vv / jnp.sqrt(norm2), norm2, st.e, isign, peso, gf)
+
+
 def build_gf_normal(cfg: EDConfig, table: SectorTable, hcache: HCache,
                     state_list: StateList) -> GFData:
-    """Diagonal (and optional off-diagonal) electron GF (build_gf_normal)."""
+    """Diagonal (and optional off-diagonal) electron GF (build_gf_normal),
+    batched by target sector."""
     gf = GFData()
     weights, zeta = state_list.boltzmann_weights(cfg.beta, cfg.finite_t)
     offdiag = cfg.ed_solve_offdiag_gf or cfg.bath_type != "normal"
+    batcher = _ExcBatcher(cfg, hcache)
 
     for w_s, st in zip(weights, state_list.states):
         if cfg.finite_t and cfg.beta * (st.e - state_list.emin) >= 200:
@@ -181,44 +244,44 @@ def build_gf_normal(cfg: EDConfig, table: SectorTable, hcache: HCache,
         for ispin in range(cfg.nspin):
             for iorb in range(cfg.norb):
                 ch = gf.get((ispin, iorb, iorb))
-                _one_excitation(cfg, table, hcache, st.vec, st.e, st.qn,
-                                iorb, ispin, True, peso, ch)
-                _one_excitation(cfg, table, hcache, st.vec, st.e, st.qn,
-                                iorb, ispin, False, peso, ch)
+                _queue_excitation(cfg, table, batcher, st, iorb, ispin,
+                                  True, peso, ch)
+                _queue_excitation(cfg, table, batcher, st, iorb, ispin,
+                                  False, peso, ch)
         if offdiag:
-            _build_gf_offdiag(cfg, table, hcache, st, peso, gf)
+            _queue_gf_offdiag(cfg, table, batcher, st, peso, gf)
+    batcher.run()
     if offdiag:
         _recombine_offdiag(cfg, gf)
     return gf
 
 
-def _build_gf_offdiag(cfg, table, hcache, st, peso, gf: GFData) -> None:
-    """Mixed-operator channels for a!=b:
-    G_mix from (c_a + c_b)|psi> stored at channel (s, a, b) before
-    algebraic recombination (ED_GF_NORMAL.f90:347-588)."""
+def _queue_gf_offdiag(cfg, table, batcher, st, peso, gf: GFData) -> None:
+    """Mixed-operator channels (c_a + c_b)|psi> for a != b
+    (ED_GF_NORMAL.f90:347-588)."""
     sec_i = table.sector(st.qn)
     for ispin in range(cfg.nspin):
         for a in range(cfg.norb):
             for b in range(a + 1, cfg.norb):
                 ch = gf.get((ispin, a, b))
-                # ADD: (c^+_a + c^+_b)|psi>
                 jqn = table.cdg_sector(st.qn, 0, ispin)
                 if jqn is not None:
                     sec_j = table.sector(jqn)
                     vv = (apply_op(cfg, sec_i, sec_j, st.vec, a, ispin, True)
-                          + apply_op(cfg, sec_i, sec_j, st.vec, b, ispin, True))
-                    _one_excitation(cfg, table, hcache, st.vec, st.e, st.qn,
-                                    a, ispin, True, peso, ch, op_vec=vv,
-                                    jqn_override=jqn)
-                # REMOVE: (c_a + c_b)|psi>
+                          + apply_op(cfg, sec_i, sec_j, st.vec, b, ispin,
+                                     True))
+                    _queue_excitation(cfg, table, batcher, st, a, ispin,
+                                      True, peso, ch, op_vec=vv,
+                                      jqn_override=jqn)
                 jqn = table.c_sector(st.qn, 0, ispin)
                 if jqn is not None:
                     sec_j = table.sector(jqn)
                     vv = (apply_op(cfg, sec_i, sec_j, st.vec, a, ispin, False)
-                          + apply_op(cfg, sec_i, sec_j, st.vec, b, ispin, False))
-                    _one_excitation(cfg, table, hcache, st.vec, st.e, st.qn,
-                                    a, ispin, False, peso, ch, op_vec=vv,
-                                    jqn_override=jqn)
+                          + apply_op(cfg, sec_i, sec_j, st.vec, b, ispin,
+                                     False))
+                    _queue_excitation(cfg, table, batcher, st, a, ispin,
+                                      False, peso, ch, op_vec=vv,
+                                      jqn_override=jqn)
 
 
 def _recombine_offdiag(cfg: EDConfig, gf: GFData) -> None:

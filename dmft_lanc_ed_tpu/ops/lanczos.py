@@ -73,6 +73,39 @@ def lanczos_tridiag(op, v0: jnp.ndarray, m: int, op_apply: Callable
     return alphas, betas
 
 
+@partial(jax.jit, static_argnames=("m", "op_apply"))
+def lanczos_tridiag_batched(op, v0_batch: jnp.ndarray, m: int,
+                            op_apply: Callable
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched tridiagonalization: v0_batch [B, dim] -> (alphas, betas) [B, m].
+
+    One vmapped scan drives B independent Krylov chains through the same
+    sector operator — the GF builder batches every excitation that lands in
+    the same target sector (replacing the reference's sequential per-orbital
+    loops, ED_GF_NORMAL.f90:36-107) so the matvec streams the factor tables
+    once for B vectors.
+    """
+    def one(v0):
+        def step(carry, _):
+            v_prev, v, beta = carry
+            w = op_apply(op, v) - beta * v_prev
+            alpha = jnp.vdot(v, w).real.astype(v.dtype)
+            w = w - alpha * v
+            beta_new = jnp.linalg.norm(w)
+            ok = beta_new > _EPS
+            v_new = jnp.where(ok, w / jnp.where(ok, beta_new, 1.0), 0.0)
+            beta_new = jnp.where(ok, beta_new, 0.0)
+            alive = jnp.linalg.norm(v) > 0.5
+            alpha = jnp.where(alive, alpha, 0.0)
+            return (v, v_new, beta_new), (alpha, beta_new)
+        (_, _, _), (alphas, betas) = jax.lax.scan(
+            step, (jnp.zeros_like(v0), v0, jnp.array(0.0, v0.dtype)),
+            None, length=m)
+        betas = jnp.concatenate([jnp.zeros((1,), v0.dtype), betas[:-1]])
+        return alphas, betas
+    return jax.vmap(one)(v0_batch)
+
+
 def tridiag_eigh(alphas, betas) -> Tuple[np.ndarray, np.ndarray]:
     """Eigendecomposition of the Lanczos tridiagonal.
 
