@@ -24,15 +24,10 @@ Reference analogue: replaces the CSR SpMV half of
 ED_HAMILTONIAN_SPARSE_HxV.f90; the run encoding is the TPU-native answer to
 the reference's tensor-product factor storage.
 
-STATUS: correct under the Pallas interpreter (tests/test_pallas.py); on-device
-Mosaic compilation currently fails with an opaque 'failed to legalize
-operation func.func' even though every primitive used here (aligned dynamic
-sublane windows via pl.multiple_of, dynamic pltpu.roll, masked RMW, 4k-entry
-scalar-prefetch tables, two loops/window classes per kernel) compiles and
-runs in isolation probes on the same chip. Debugging needs local MLIR dumps
-(the remote-compile service truncates diagnostics) — tracked for the next
-round. The production device path is the XLA row-gather formulation in
-ops/matvec.py (measured 18.7 Gnnz/s f64 / 30 Gnnz/s f32 on v5e).
+Gotcha (hard-won): Mosaic fails to legalize this kernel when jax x64 mode is
+enabled (`pl.multiple_of` hints and weak-int promotion produce i64 scalars);
+every call here therefore runs under `jax.enable_x64(False)` — the kernel is
+f32/int32 throughout, so 32-bit tracing is exactly right.
 """
 from __future__ import annotations
 
@@ -175,46 +170,52 @@ def build_pallas_op(h: SectorHamiltonian) -> PallasSectorOp:
         dim_dw=dd, dim_up=du)
 
 
-def _make_kernel(with_diag: bool):
-    def kernel(s_da, s_sa, s_head, s_shift, s_len, s_val,
-               l_da, l_sa, l_head, l_shift, l_len, l_val,
-               *refs):
-        if with_diag:
-            diag_ref, v_ref, out_ref = refs
-            out_ref[:] = diag_ref[:] * v_ref[:]
-        else:
-            v_ref, out_ref = refs
-            out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+def _kernel_body(s_da, s_sa, s_head, s_shift, s_len, s_val,
+                 l_da, l_sa, l_head, l_shift, l_len, l_val,
+                 v_ref, out_ref):
+    """Shared slab-AXPY loops (out_ref must already be initialized)."""
+    def make_body(da, sa, head, shift, ln, val, slab, rows):
+        def body(r, _):
+            a = pl.multiple_of(da[r], 8)
+            b = pl.multiple_of(sa[r], 8)
+            h0 = head[r]
+            window = v_ref[pl.ds(b, slab), :]
+            window = pltpu.roll(window, shift[r], 0)
+            mask = (rows >= h0) & (rows < h0 + ln[r])
+            cur = out_ref[pl.ds(a, slab), :]
+            out_ref[pl.ds(a, slab), :] = jnp.where(
+                mask, cur + val[r] * window, cur)
+            return 0
+        return body
 
-        def make_body(da, sa, head, shift, ln, val, slab, rows):
-            def body(r, _):
-                a = pl.multiple_of(da[r], 8)
-                b = pl.multiple_of(sa[r], 8)
-                h0 = head[r]
-                window = v_ref[pl.ds(b, slab), :]
-                window = pltpu.roll(window, shift[r], 0)
-                mask = (rows >= h0) & (rows < h0 + ln[r])
-                cur = out_ref[pl.ds(a, slab), :]
-                out_ref[pl.ds(a, slab), :] = jnp.where(
-                    mask, cur + val[r] * window, cur)
-                return 0
-            return body
-
-        rows_s = jax.lax.broadcasted_iota(jnp.int32, (SLAB_S, 1), 0)
-        rows_l = jax.lax.broadcasted_iota(jnp.int32, (SLAB_L, 1), 0)
-        jax.lax.fori_loop(
-            0, s_da.shape[0],
-            make_body(s_da, s_sa, s_head, s_shift, s_len, s_val,
-                      SLAB_S, rows_s), 0)
-        jax.lax.fori_loop(
-            0, l_da.shape[0],
-            make_body(l_da, l_sa, l_head, l_shift, l_len, l_val,
-                      SLAB_L, rows_l), 0)
-    return kernel
+    rows_s = jax.lax.broadcasted_iota(jnp.int32, (SLAB_S, 1), 0)
+    rows_l = jax.lax.broadcasted_iota(jnp.int32, (SLAB_L, 1), 0)
+    jax.lax.fori_loop(
+        0, s_da.shape[0],
+        make_body(s_da, s_sa, s_head, s_shift, s_len, s_val,
+                  SLAB_S, rows_s), 0)
+    jax.lax.fori_loop(
+        0, l_da.shape[0],
+        make_body(l_da, l_sa, l_head, l_shift, l_len, l_val,
+                  SLAB_L, rows_l), 0)
 
 
-_kernel_diag = _make_kernel(True)
-_kernel_nodiag = _make_kernel(False)
+def _kernel_diag(s_da, s_sa, s_head, s_shift, s_len, s_val,
+                 l_da, l_sa, l_head, l_shift, l_len, l_val,
+                 diag_ref, v_ref, out_ref):
+    out_ref[:] = diag_ref[:] * v_ref[:]
+    _kernel_body(s_da, s_sa, s_head, s_shift, s_len, s_val,
+                 l_da, l_sa, l_head, l_shift, l_len, l_val,
+                 v_ref, out_ref)
+
+
+def _kernel_nodiag(s_da, s_sa, s_head, s_shift, s_len, s_val,
+                   l_da, l_sa, l_head, l_shift, l_len, l_val,
+                   v_ref, out_ref):
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    _kernel_body(s_da, s_sa, s_head, s_shift, s_len, s_val,
+                 l_da, l_sa, l_head, l_shift, l_len, l_val,
+                 v_ref, out_ref)
 
 
 def _runs_call(kernel, runs: RunFactor, arrays, out_shape, interpret):
@@ -236,9 +237,15 @@ def apply_pallas(op: PallasSectorOp, v_pad: jnp.ndarray, vt_pad: jnp.ndarray,
                  interpret: bool = False) -> jnp.ndarray:
     """One matvec on row-padded inputs.
 
-    v_pad: [dd + SLAB_L, du] native layout; vt_pad: [du + SLAB_L, dd]
-    transposed. Returns y [dd, du] (unpadded). Padding rows must be zero.
+    v_pad: [dd + pad, du_lanes] native layout; vt_pad likewise transposed.
+    Returns y [dd, du] (unpadded). Padding rows/lanes must be zero.
+    Runs under 32-bit tracing (see module docstring).
     """
+    with jax.enable_x64(False):
+        return _apply_pallas_inner(op, v_pad, vt_pad, interpret)
+
+
+def _apply_pallas_inner(op, v_pad, vt_pad, interpret):
     dd, du = op.dim_dw, op.dim_up
     y = _runs_call(_kernel_diag, op.dw_runs, (op.diag, v_pad),
                    jax.ShapeDtypeStruct(v_pad.shape, v_pad.dtype),
