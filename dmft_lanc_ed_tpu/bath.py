@@ -258,3 +258,46 @@ def bath_levels(cfg: EDConfig, bath: Bath,
     for s in range(nspin):
         diag_hybr[s, :, :] = v[:, s][None, :]
     return bath_diag, diag_hybr, hbath
+
+
+def ph_trans_bath(cfg: EDConfig, arr: np.ndarray) -> np.ndarray:
+    """Particle-hole transform the bath: e_k -> -e_k, order reversed
+    (ph_trans_bath, ED_BATH/user_aux.f90)."""
+    bath = unpack_bath(cfg, arr)
+    e = -np.asarray(bath.e)[..., ::-1].copy()
+    v = np.asarray(bath.v)[..., ::-1].copy()
+    return pack_bath(cfg, Bath(e=jnp.asarray(e), v=jnp.asarray(v)))
+
+
+def get_bath_component(cfg: EDConfig, arr: np.ndarray, itype: str
+                       ) -> np.ndarray:
+    """Extract the 'e' or 'v' block as [nspin, norb(or 1), nbath]
+    (get_bath_component, ED_BATH/user_ctrl.f90)."""
+    bath = unpack_bath(cfg, arr)
+    if itype == "e":
+        return np.asarray(bath.e).copy()
+    if itype == "v":
+        return np.asarray(bath.v).copy()
+    raise ValueError("itype must be 'e' or 'v'")
+
+
+def set_bath_component(cfg: EDConfig, arr: np.ndarray, itype: str,
+                       value: np.ndarray) -> np.ndarray:
+    """Replace the 'e' or 'v' block (set_bath_component)."""
+    bath = unpack_bath(cfg, arr)
+    e = np.asarray(bath.e).copy()
+    v = np.asarray(bath.v).copy()
+    if itype == "e":
+        e[:] = value
+    elif itype == "v":
+        v[:] = value
+    else:
+        raise ValueError("itype must be 'e' or 'v'")
+    return pack_bath(cfg, Bath(e=jnp.asarray(e), v=jnp.asarray(v)))
+
+
+def copy_bath_component(cfg: EDConfig, arr_from: np.ndarray,
+                        arr_to: np.ndarray, itype: str) -> np.ndarray:
+    """Copy one component block between packed baths (copy_component)."""
+    return set_bath_component(cfg, arr_to, itype,
+                              get_bath_component(cfg, arr_from, itype))

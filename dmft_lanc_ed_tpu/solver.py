@@ -89,6 +89,19 @@ class EDSolver:
         self.wr = real_grid(cfg)
         self.last_result: Optional[SolveResult] = None
 
+    # -- checkpoint/restart (reference .restart file protocol) -------------
+    def restore(self, workdir: str = ".", suffix: str = "") -> Optional[np.ndarray]:
+        """Re-seed solver state from a reference-style restart directory:
+        hamiltonian.restart (bath), state_list (spectrum shape /
+        neigen_sector), sectors_list.restart (sector restriction hints).
+        Returns the restored packed bath or None."""
+        from . import io as edio
+        ctl = edio.read_state_list_restart(self.cfg, outdir=workdir,
+                                           suffix=suffix)
+        if ctl is not None:
+            self.diag_state = ctl
+        return edio.read_bath_restart(self.cfg, outdir=workdir, suffix=suffix)
+
     # -- reference-style initialization ------------------------------------
     def init_bath(self) -> np.ndarray:
         """Default bath guess as packed user array (ed_init_solver output)."""
