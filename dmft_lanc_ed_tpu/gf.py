@@ -186,8 +186,12 @@ class _ExcBatcher:
             (vv, norm2, state_e, isign, peso, gf))
 
     def run(self) -> None:
+        import logging
+        log = logging.getLogger("dmft_lanc_ed_tpu")
         from .utils.observability import kernel_stats
         for jqn, tasks in self.groups.items():
+            log.debug("gf batch: sector %s, %d excitations, dim %d",
+                      jqn, len(tasks), tasks[0][0].shape[0])
             op, op_apply = self.hcache(jqn)
             dim = tasks[0][0].shape[0]
             m = min(dim, self.cfg.lanc_ngfiter)

@@ -197,6 +197,7 @@ def lanczos_ground_state(
     v0 = v0 / jnp.linalg.norm(v0)
 
     from ..utils.observability import kernel_stats
+    stall = 0
     for _ in range(max_restarts):
         res = _build_basis(op, v0, locked_vecs, m, op_apply)
         kernel_stats.record(m, getattr(op, "nnz", 0))
@@ -231,6 +232,13 @@ def lanczos_ground_state(
             key, sub = jax.random.split(key)
             v0 = jax.random.normal(sub, (dim,), dtype)
         v0 = v0 / jnp.linalg.norm(v0)
+        # adaptive basis growth: clustered/near-degenerate eigenvalues
+        # converge slowly with a small ncv — grow it when restarts stall
+        # (replaces ARPACK's implicit-restart robustness)
+        stall = 0 if newly else stall + 1
+        if stall >= 10 and m < dim:
+            m = min(dim, 2 * m)
+            stall = 0
     else:
         raise RuntimeError(
             f"lanczos_ground_state: no convergence after {max_restarts} restarts "

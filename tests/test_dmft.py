@@ -51,3 +51,22 @@ def test_bethe_delta_scheme_matches_weiss():
     # differently: at nbath=4 they differ by ~0.02 in docc, collapsing to
     # 2e-4 at nbath=6 (measured) — assert the loose finite-bath agreement
     assert abs(res_w.docc[0] - res_d.docc[0]) < 0.03
+
+
+@pytest.mark.slow
+def test_bhz_u0_exact_occupations():
+    """BHZ replica-bath DMFT at U=0 must reproduce the exact band-insulator
+    orbital occupations (regression for replica-fit representability)."""
+    from dmft_lanc_ed_tpu.models.bhz_2d import run_dmft as run_bhz
+    cfg = EDConfig(norb=2, nspin=2, nbath=4, uloc=(0.0, 0.0), beta=50.0,
+                   lmats=128, lfit=64, lreal=8, nloop=4,
+                   bath_type="replica", lanc_dim_threshold=3000)
+    res = run_bhz(cfg, nk=10, m0=1.0, lam=0.3, t=0.5, verbose=False)
+    # exact occupations from the same Hk
+    from dmft_lanc_ed_tpu.dmft.hk import hk_bhz_2d
+    hk = hk_bhz_2d(10, m0=1.0, lam=0.3, t=0.5)
+    w, v = np.linalg.eigh(hk)
+    f = 1.0 / (1.0 + np.exp(np.clip(50.0 * w, -500, 500)))
+    n_so = np.einsum("kbn,kn,kbn->b", v.conj(), f, v).real / hk.shape[0]
+    exact = np.array([n_so[0] + n_so[2], n_so[1] + n_so[3]])
+    np.testing.assert_allclose(res.dens, exact, atol=0.05)
