@@ -1,0 +1,121 @@
+"""DMFT from a user-supplied H(k) — the DFT/Wannier-input workload.
+
+Driver for the edn_DFT.f90 analogue: load a tight-binding Hamiltonian from a
+file and run DMFT on it. Accepted formats:
+
+- .npy       : complex array [Nk, Nso, Nso] (Nso = nspin*norb)
+- .dat/.txt  : wannier90-style ``hr`` listing reduced to a k-grid is out of
+               scope for round 1 — pre-convert to .npy
+"""
+from __future__ import annotations
+
+import logging
+import sys
+from typing import Optional
+
+import numpy as np
+
+from ..config import EDConfig, read_input
+from ..dmft import ConvergenceCheck, LinearMixer, self_consistency
+from ..dmft.gloc import gloc_hk
+from ..dmft.hk import hloc_from_hk
+from ..fit import chi2_fitgf
+from ..hloc import decompose_hloc
+from ..models.hm_bethe import DMFTResult
+from ..solver import EDSolver, matsubara_grid
+
+log = logging.getLogger("dmft_lanc_ed_tpu")
+
+
+def load_hk(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        hk = np.load(path)
+    else:
+        raise ValueError(f"unsupported H(k) file format: {path}")
+    if hk.ndim != 3 or hk.shape[1] != hk.shape[2]:
+        raise ValueError(f"H(k) must be [Nk, Nso, Nso]; got {hk.shape}")
+    if not np.allclose(hk, hk.conj().transpose(0, 2, 1), atol=1e-10):
+        raise ValueError("H(k) is not hermitian")
+    return hk.astype(np.complex128)
+
+
+def run_dmft(cfg: EDConfig, hk: np.ndarray, wmixing: float = 0.5,
+             bath0: Optional[np.ndarray] = None,
+             verbose: bool = True) -> DMFTResult:
+    nso = cfg.nspin * cfg.norb
+    assert hk.shape[1] == nso, (
+        f"H(k) dimension {hk.shape[1]} != nspin*norb = {nso}")
+    hloc = hloc_from_hk(hk, cfg.nspin, cfg.norb)
+    h_basis = lambda_imp = None
+    if cfg.bath_type == "replica":
+        h_basis, lambda_imp = decompose_hloc(cfg, hloc)
+    solver = EDSolver(cfg, hloc, h_basis=h_basis, lambda_imp=lambda_imp)
+    bath = solver.init_bath() if bath0 is None else np.asarray(bath0).copy()
+    wm = matsubara_grid(cfg)
+    z = 1j * wm
+    mixer = LinearMixer(wmixing)
+    conv = ConvergenceCheck(cfg.dmft_error, cfg.nsuccess, cfg.nloop)
+    history = []
+    res = weiss = None
+    converged = False
+
+    for iloop in range(1, cfg.nloop + 1):
+        res = solver.solve(bath)
+        gloc = gloc_hk(hk, res.sigma_mats, z, xmu=cfg.xmu)
+        weiss = self_consistency(gloc, res.sigma_mats, hloc, z,
+                                 sctype=cfg.cg_scheme, xmu=cfg.xmu)
+        bath = mixer(chi2_fitgf(cfg, weiss, bath, hloc, h_basis=h_basis))
+        gtest = np.mean([weiss[0, 0, a, a] for a in range(cfg.norb)], axis=0)
+        converged = conv(gtest)
+        history.append(dict(iloop=iloop, error=conv.error,
+                            dens=res.observables.dens.copy()))
+        if verbose:
+            log.info("from_hk loop %02d: err=%.3e dens=%s",
+                     iloop, conv.error, np.round(res.observables.dens, 5))
+        if converged and conv.error < cfg.dmft_error:
+            break
+
+    return DMFTResult(
+        converged=converged, iterations=len(history), error=conv.error,
+        dens=res.observables.dens, docc=res.observables.docc, xmu=cfg.xmu,
+        sigma_mats=res.sigma_mats, sigma_real=res.sigma_real,
+        g_mats=res.g_mats, weiss=weiss, bath=bath,
+        observables=res.observables, history=history)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
+                        datefmt="%H:%M:%S")
+    argv = argv if argv is not None else sys.argv[1:]
+    hk_path = None
+    overrides = {}
+    extra = {}
+    path = None
+    for arg in argv:
+        if arg.endswith(".npy"):
+            hk_path = arg
+        elif "=" in arg:
+            k, v = arg.split("=", 1)
+            k = k.lower()
+            if k == "hk":
+                hk_path = v
+            elif k == "wmixing":
+                extra[k] = float(v)
+            else:
+                try:
+                    overrides[k] = eval(v, {}, {})
+                except Exception:
+                    overrides[k] = v
+        else:
+            path = arg
+    if hk_path is None:
+        raise SystemExit("usage: from_hk <hk.npy> [input] [NAME=value ...]")
+    cfg = read_input(path, **overrides)
+    hk = load_hk(hk_path)
+    result = run_dmft(cfg, hk, **extra)
+    print(f"converged={result.converged} dens={result.dens}")
+    return result
+
+
+if __name__ == "__main__":
+    main()
