@@ -150,6 +150,9 @@ class EDConfig:
                              "(ED_SETUP.f90 ed_checks_global)")
         if self.ed_finite_temp and self.lanc_nstates_total <= 1:
             raise ValueError("finite T requires lanc_nstates_total > 1")
+        if not self.ed_total_ud and self.ed_solve_offdiag_gf:
+            raise ValueError("off-diagonal GF requires ed_total_ud=True "
+                             "(mixed operators span per-orbital sectors)")
 
     # --- derived dimensions (ED_SETUP.f90:113-135) ------------------------
     @property
