@@ -198,6 +198,8 @@ _ALIASES = {  # reference NAME -> dataclass field
 
 def _parse_value(field_type, raw: str):
     raw = raw.strip().strip('"').strip("'")
+    if raw.lower() in ("none", ""):
+        return None
     if field_type is bool or (isinstance(raw, str) and _BOOL_RE.match(raw)):
         return raw.lower().lstrip(".").startswith("t")
     if field_type is int:
@@ -253,6 +255,8 @@ def save_used_input(cfg: EDConfig, path: str) -> None:
     with open(out, "w") as fh:
         for f in dataclasses.fields(cfg):
             v = getattr(cfg, f.name)
+            if v is None or (isinstance(v, tuple) and len(v) == 0):
+                continue           # unset optionals round-trip as defaults
             if isinstance(v, bool):
                 v = "T" if v else "F"
             elif isinstance(v, tuple):
