@@ -10,7 +10,6 @@ All return arrays shaped [nspin, nspin, norb, norb, L] (reference layout).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

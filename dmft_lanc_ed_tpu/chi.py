@@ -18,7 +18,7 @@ add_to_lanczos_phonon, ED_GF_PHONON.f90:132-179) as single broadcasts:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -27,7 +27,6 @@ from .config import EDConfig
 from .eigenspace import StateList
 from .gf import HCache
 from .ops.lanczos import lanczos_tridiag, tridiag_eigh
-from .ops.matvec import matvec_flat
 from .sectors import SectorTable, occupations
 
 

@@ -5,7 +5,6 @@ reference drivers use (edn_hm_2b_square.f90, edn_bhz_2d.f90).
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
 
 import numpy as np
 

@@ -19,8 +19,7 @@ Fit granularity matches the reference dispatch (ED_FIT_CHI2.f90:88-99):
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

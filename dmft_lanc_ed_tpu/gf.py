@@ -28,12 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bath import Bath
-from .bath_functions import invg0_bath, g0and_bath
+from .bath_functions import invg0_bath
 from .config import EDConfig
 from .eigenspace import StateList
-from .hamiltonian import SectorHamiltonian
 from .ops.lanczos import (lanczos_tridiag, lanczos_tridiag_batched, tridiag_eigh)
-from .ops.matvec import matvec_flat
 from .sectors import Sector, SectorQN, SectorTable, op_map
 
 Channel = Tuple[int, int, int]   # (ispin, iorb, jorb)

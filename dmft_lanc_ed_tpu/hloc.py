@@ -12,7 +12,7 @@ lambda vector over the same basis) and by `set_hloc`-style initialization.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -16,8 +16,8 @@ ED_FIT_CHI2.f90:151-240) and per-site adaptive diag state persistence
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import List, Optional
 
 import numpy as np
 

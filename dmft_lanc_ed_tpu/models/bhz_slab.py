@@ -17,14 +17,12 @@ from __future__ import annotations
 
 import logging
 import sys
-from typing import Optional
 
 import numpy as np
 
 from ..config import EDConfig, read_input
 from ..dmft import ConvergenceCheck, LinearMixer
 from ..dmft.selfcons import self_consistency
-from ..fit import chi2_fitgf
 from ..hloc import decompose_hloc
 from ..lattice import LatticeSolver
 from ..solver import matsubara_grid

@@ -25,7 +25,7 @@ from ..dmft import (BroydenMixer, ConvergenceCheck, DensitySearch,
                     LinearMixer, bethe_bands, gloc_dos, kinetic_energy_dos,
                     self_consistency)
 from ..fit import chi2_fitgf
-from ..solver import EDSolver, matsubara_grid, real_grid
+from ..solver import EDSolver, matsubara_grid
 
 log = logging.getLogger("dmft_lanc_ed_tpu")
 

@@ -20,7 +20,7 @@ Quantities (reference names in parentheses):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

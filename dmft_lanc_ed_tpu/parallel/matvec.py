@@ -21,7 +21,6 @@ exact-zero rows, which are invariant under the matvec and invisible to dots.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ do not perturb matvec, norms, or dot products).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -24,7 +24,6 @@ Conventions (identical to the reference):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
 from math import comb
 from typing import Dict, List, Optional, Sequence, Tuple
 

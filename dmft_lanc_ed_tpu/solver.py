@@ -21,7 +21,7 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from .bath import Bath, init_bath, pack_bath, unpack_bath
+from .bath import init_bath, pack_bath, unpack_bath
 from .bath_functions import g0and_bath
 from .config import EDConfig
 from .diag import DiagState, diagonalize_impurity
