@@ -64,6 +64,17 @@ class DirectSectorOp:
     dw_c: jnp.ndarray
     dw_d: jnp.ndarray
     dw_a: jnp.ndarray
+    # non-local Jx/Jp tensor-product hops (direct/HxV_non_local.f90):
+    # term t = amp_t * (c^+_{uc} c_{ud})_up (x) (c^+_{dc} c_{dd})_dw
+    nd_up_c: Optional[jnp.ndarray] = None   # [T] int32
+    nd_up_d: Optional[jnp.ndarray] = None
+    nd_dw_c: Optional[jnp.ndarray] = None
+    nd_dw_d: Optional[jnp.ndarray] = None
+    nd_a: Optional[jnp.ndarray] = None      # [T]
+    # phonons (direct/HxV_eph.f90): occupancies recomputed from bits
+    ph_w0: Optional[jnp.ndarray] = None     # scalar
+    ph_g: Optional[jnp.ndarray] = None      # [norb] e-ph couplings
+    ph_n: Optional[jnp.ndarray] = None      # [DimPh] = arange(DimPh)
 
     @property
     def dim_up(self) -> int:
@@ -72,6 +83,10 @@ class DirectSectorOp:
     @property
     def dim_dw(self) -> int:
         return self.states_dw.shape[0]
+
+    @property
+    def dim_ph(self) -> int:
+        return 1 if self.ph_n is None else self.ph_n.shape[0]
 
 
 def _collect_terms(cfg: EDConfig, spin: int, hloc, diag_hybr, hbath
@@ -113,14 +128,45 @@ def build_direct_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray, bath: Bath,
                     h_basis: Optional[np.ndarray] = None,
                     dtype=None) -> DirectSectorOp:
     """Assemble the matrix-free operator (directMatVec preparation)."""
-    assert cfg.ed_total_ud and cfg.dim_ph == 1 and cfg.jx == 0 and cfg.jp == 0, \
-        "direct backend: total_ud electron sectors only (no phonons/Jx/Jp yet)"
+    assert cfg.ed_total_ud, "direct backend: total_ud sectors only"
     dtype = dtype or jnp.dtype(cfg.ed_dtype)
     bath_diag, diag_hybr, hbath = bath_levels(cfg, bath, h_basis)
     hloc = np.asarray(hloc, dtype=np.float64)
     diag = _electron_diag(cfg, sec, hloc, bath_diag)
     uc, ud, ua = _collect_terms(cfg, 0, hloc, diag_hybr, hbath)
     dc, dd_, da = _collect_terms(cfg, 1, hloc, diag_hybr, hbath)
+
+    # non-local Jx/Jp term list (same term generation as the stored builder,
+    # ED_HAMILTONIAN_SPARSE_HxV stored/H_non_local.f90, but positional only)
+    nuc, nud, ndc, ndd, nda = [], [], [], [], []
+    if cfg.norb > 1:
+        for a in range(cfg.norb):
+            for b in range(cfg.norb):
+                if a == b:
+                    continue
+                if cfg.jx != 0.0:       # Jx (c+_a c_b)_up (c+_b c_a)_dw
+                    nuc.append(a); nud.append(b)
+                    ndc.append(b); ndd.append(a)
+                    nda.append(cfg.jx)
+                if cfg.jp != 0.0:       # Jp (c+_a c_b)_up (c+_a c_b)_dw
+                    nuc.append(a); nud.append(b)
+                    ndc.append(a); ndd.append(b)
+                    nda.append(cfg.jp)
+    nd_kw = {}
+    if nuc:
+        nd_kw = dict(nd_up_c=jnp.asarray(np.array(nuc, np.int32)),
+                     nd_up_d=jnp.asarray(np.array(nud, np.int32)),
+                     nd_dw_c=jnp.asarray(np.array(ndc, np.int32)),
+                     nd_dw_d=jnp.asarray(np.array(ndd, np.int32)),
+                     nd_a=jnp.asarray(np.array(nda), dtype=dtype))
+
+    ph_kw = {}
+    if cfg.dim_ph > 1:
+        ph_kw = dict(ph_w0=jnp.asarray(cfg.w0_ph, dtype=dtype),
+                     ph_g=jnp.asarray(np.array(cfg.g_ph[:cfg.norb]),
+                                      dtype=dtype),
+                     ph_n=jnp.arange(cfg.dim_ph, dtype=dtype))
+
     return DirectSectorOp(
         states_up=jnp.asarray(sec.states_up[0].astype(np.int32)),
         states_dw=jnp.asarray(sec.states_dw[0].astype(np.int32)),
@@ -128,7 +174,7 @@ def build_direct_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray, bath: Bath,
         up_c=jnp.asarray(uc), up_d=jnp.asarray(ud),
         up_a=jnp.asarray(ua, dtype=dtype),
         dw_c=jnp.asarray(dc), dw_d=jnp.asarray(dd_),
-        dw_a=jnp.asarray(da, dtype=dtype))
+        dw_a=jnp.asarray(da, dtype=dtype), **nd_kw, **ph_kw)
 
 
 def _apply_direct_factor(states, pos_c, pos_d, amps, v, out):
@@ -156,16 +202,68 @@ def _apply_direct_factor(states, pos_c, pos_d, amps, v, out):
     return jax.lax.fori_loop(0, pos_c.shape[0], body, out)
 
 
+def _row_gather_map(states, c, d):
+    """Output-row gather map of one hop c^+_c c_d over one species basis.
+
+    Returns (src, w): row i receives w[i] * x[src[i]] (w = 0 where the hop
+    does not apply); signs follow the same c-then-cdg source-state
+    convention as `_apply_direct_factor`.
+    """
+    bit_c = jnp.int32(1) << c
+    bit_d = jnp.int32(1) << d
+    mask = bit_c | bit_d
+    ok = ((states & bit_c) != 0) & ((states & bit_d) == 0) & (c != d)
+    src_state = states ^ mask
+    src = jnp.where(ok, _searchsorted(states, src_state), 0)
+    sg = _jw_sign(src_state, d) * _jw_sign(src_state ^ bit_d, c)
+    return src, jnp.where(ok, sg, 0)
+
+
 def apply_direct(op: DirectSectorOp, v: jnp.ndarray) -> jnp.ndarray:
-    """y = H v, computing the hop connectivity on the fly."""
+    """y = H v, computing the hop connectivity on the fly.
+
+    v shaped [DimDw, DimUp] or [DimPh, DimDw, DimUp] (phonon blocks).
+    """
     y = op.diag * v
     y = _apply_direct_factor(op.states_dw, op.dw_c, op.dw_d, op.dw_a, v, y)
     vt = jnp.swapaxes(v, -1, -2)
     yt = _apply_direct_factor(op.states_up, op.up_c, op.up_d, op.up_a, vt,
                               jnp.zeros_like(vt))
-    return y + jnp.swapaxes(yt, -1, -2)
+    y = y + jnp.swapaxes(yt, -1, -2)
+
+    if op.nd_a is not None:
+        def nd_body(t, acc):
+            src_u, w_u = _row_gather_map(op.states_up, op.nd_up_c[t],
+                                         op.nd_up_d[t])
+            src_d, w_d = _row_gather_map(op.states_dw, op.nd_dw_c[t],
+                                         op.nd_dw_d[t])
+            tmp = v[..., src_u] * w_u.astype(acc.dtype)
+            return acc + op.nd_a[t] * (tmp[..., src_d, :]
+                                       * w_d.astype(acc.dtype)[:, None])
+        y = jax.lax.fori_loop(0, op.nd_a.shape[0], nd_body, y)
+
+    if op.ph_n is not None:
+        # phonon diagonal w0 * n_ph
+        y = y + (op.ph_w0 * op.ph_n)[:, None, None] * v
+        # e-ph: y[p] += (X ev)[p], ev = [sum_a g_a (n_a - 1)] v with the
+        # impurity occupancies recomputed from the low norb bits
+        norb = op.ph_g.shape[0]
+        occ_bits = jnp.arange(norb, dtype=jnp.int32)
+        gu = (((op.states_up[:, None] >> occ_bits) & 1).astype(op.ph_g.dtype)
+              @ op.ph_g)                                  # [du]
+        gd = (((op.states_dw[:, None] >> occ_bits) & 1).astype(op.ph_g.dtype)
+              @ op.ph_g)                                  # [dd]
+        eph_el = gu[None, :] + gd[:, None] - op.ph_g.sum()
+        ev = eph_el[None] * v                             # [P, dd, du]
+        coef = jnp.sqrt(op.ph_n[1:])[:, None, None]       # sqrt(1..P-1)
+        y = y.at[:-1].add(coef * ev[1:])                  # b
+        y = y.at[1:].add(coef * ev[:-1])                  # b^+
+    return y
 
 
 def matvec_direct_flat(op: DirectSectorOp, v_flat: jnp.ndarray) -> jnp.ndarray:
-    v = v_flat.reshape(op.dim_dw, op.dim_up)
+    if op.ph_n is not None:
+        v = v_flat.reshape(op.dim_ph, op.dim_dw, op.dim_up)
+    else:
+        v = v_flat.reshape(op.dim_dw, op.dim_up)
     return apply_direct(op, v).reshape(-1)

@@ -7,8 +7,8 @@ apply_fn) chosen by cfg.ed_backend / cfg.ed_sparse_h:
 - "ell" (stored)  : tensor-product ELL factors, row-gather matvec
 - "direct"        : matrix-free, connectivity from bit ops on device
 - "auto"          : honors ed_sparse_h (True -> stored, False -> direct),
-                    falling back to stored where direct isn't wired yet
-                    (phonons, Jx/Jp, orbital-resolved sectors)
+                    falling back to stored where direct isn't wired
+                    (orbital-resolved sectors)
 """
 from __future__ import annotations
 
@@ -25,8 +25,7 @@ from .matvec import matvec_flat
 
 
 def direct_supported(cfg: EDConfig) -> bool:
-    return (cfg.ed_total_ud and cfg.dim_ph == 1
-            and cfg.jx == 0.0 and cfg.jp == 0.0)
+    return cfg.ed_total_ud
 
 
 def make_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray, bath: Bath,

@@ -73,3 +73,29 @@ def test_hloc_decomposition_roundtrip():
     basis, lam = decompose_hloc(cfg, h)
     validate_basis(cfg, basis)
     np.testing.assert_allclose(h_from_sym(basis, lam), h, atol=1e-12)
+
+
+def test_direct_matches_stored_nonlocal():
+    """Jx/Jp tensor-product terms, direct vs stored (HxV_non_local oracle)."""
+    cfg = EDConfig(norb=2, nbath=2, uloc=(1.5, 1.0), ust=0.4, jh=0.15,
+                   jx=0.15, jp=0.15)
+    sec, hloc, bath = _setup(cfg, ((3,), (2,)), seed=5)
+    h = build_sector_hamiltonian(cfg, sec, hloc, bath)
+    op = build_direct_op(cfg, sec, hloc, bath)
+    v = RNG.normal(size=(sec.dim_dw, sec.dim_up))
+    np.testing.assert_allclose(np.asarray(apply_direct(op, jnp.asarray(v))),
+                               np.asarray(apply_h(h, jnp.asarray(v))),
+                               atol=1e-12)
+
+
+def test_direct_matches_stored_phonon():
+    """Phonon blocks + e-ph coupling, direct vs stored (HxV_eph oracle)."""
+    cfg = EDConfig(norb=1, nbath=3, uloc=(2.0,), nph=3, w0_ph=0.7,
+                   g_ph=(0.3,), xmu=0.2)
+    sec, hloc, bath = _setup(cfg, ((2,), (2,)), seed=7)
+    h = build_sector_hamiltonian(cfg, sec, hloc, bath)
+    op = build_direct_op(cfg, sec, hloc, bath)
+    v = RNG.normal(size=(cfg.dim_ph, sec.dim_dw, sec.dim_up))
+    np.testing.assert_allclose(np.asarray(apply_direct(op, jnp.asarray(v))),
+                               np.asarray(apply_h(h, jnp.asarray(v))),
+                               atol=1e-12)
