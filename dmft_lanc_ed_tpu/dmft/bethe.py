@@ -29,3 +29,11 @@ def bethe_bands(norb: int, wband, h0=None, n_energies: int = 500
         ebands[a] = e
         dbands[a] = dens_bethe(e, wband[a]) * de
     return ebands, dbands, h0
+
+
+def dens_flat(e: np.ndarray, half_bandwidth: float) -> np.ndarray:
+    """Flat (box) DOS on [-W, W] (SciFortran dens_flat; AFO driver
+    dos_model='flat')."""
+    e = np.asarray(e, dtype=np.float64)
+    return np.where(np.abs(e) <= half_bandwidth,
+                    1.0 / (2.0 * half_bandwidth), 0.0)

@@ -61,3 +61,35 @@ def gloc_hk(hk: np.ndarray, sigma: np.ndarray, z: np.ndarray,
     g_so = np.asarray(_gloc_hk_kernel(jnp.asarray(hk), jnp.asarray(zeta)))
     g = g_so.transpose(1, 2, 0).reshape(nspin, norb, nspin, norb, L)
     return g.transpose(0, 2, 1, 3, 4)
+
+
+def gloc_dos_bipartite(ebands: np.ndarray, dbands: np.ndarray,
+                       h0: np.ndarray, sigma: np.ndarray, z: np.ndarray,
+                       xmu: float = 0.0) -> np.ndarray:
+    """G_loc on a bipartite lattice with two sublattices A/B for
+    orbital-diagonal dispersion (the AFO/AFM two-site geometry,
+    edn_hm_2bands_dos_2sites_ineq_AFO.f90 He_b construction: hopping only
+    connects sublattices, so the [2, 2] sublattice block at energy eps is
+    [[zeta_A, eps], [eps, zeta_B]] and
+
+        G_A(z) = int deps D(eps) zeta_B / (zeta_A zeta_B - eps^2)
+
+    (and A<->B). sigma: [2, nspin, nspin, norb, norb, L]; returns the same
+    shape with the diagonal entries filled.
+    """
+    nspin, _, norb = sigma.shape[1:4]
+    out = np.zeros_like(sigma)
+    zj = jnp.asarray(z)
+    for s in range(nspin):
+        for a in range(norb):
+            io = a + s * norb if ebands.shape[0] > norb else a
+            e = jnp.asarray(ebands[io])
+            d = jnp.asarray(dbands[io])
+            za = zj + xmu - h0[io] - jnp.asarray(sigma[0, s, s, a, a])
+            zb = zj + xmu - h0[io] - jnp.asarray(sigma[1, s, s, a, a])
+            den = za[:, None] * zb[:, None] - (e ** 2)[None, :]   # [L, Le]
+            out[0, s, s, a, a] = np.asarray(
+                (d[None, :] * zb[:, None] / den).sum(-1))
+            out[1, s, s, a, a] = np.asarray(
+                (d[None, :] * za[:, None] / den).sum(-1))
+    return out
