@@ -152,18 +152,38 @@ def chi2_fitgf(cfg: EDConfig, target: np.ndarray, bath_array: np.ndarray,
 
 
 def _minimize(cfg: EDConfig, chi2_fn, theta0: np.ndarray) -> np.ndarray:
-    """L-BFGS-B on a jitted value-and-grad (replaces fmin_cg/minimize)."""
-    vg = jax.jit(jax.value_and_grad(
-        lambda t: chi2_fn(jnp.asarray(t))))
+    """Quasi-Newton descent on the chi2 (replaces fmin_cg/fmin_cgminimize).
 
-    def fun(t):
-        val, grad = vg(jnp.asarray(t))
-        return float(val), np.asarray(grad, dtype=np.float64)
+    Reference dials honored (ED_FIT_CHI2.f90:84-141):
+    - cg_method: 0 -> L-BFGS-B (the default, supersedes the NR CG),
+                 1 -> scipy nonlinear CG (the fmin_cgminimize analogue)
+    - cg_grad:   0 -> exact gradient via jax autodiff (the reference's
+                 hand-derived analytic dDelta/dtheta chain rule comes for
+                 free), 1 -> numerical finite-difference gradient
+    """
+    numeric = cfg.cg_grad != 0
+    if numeric:
+        f = jax.jit(lambda t: chi2_fn(jnp.asarray(t)))
+        fun = lambda t: float(f(jnp.asarray(t)))
+        jac = None
+    else:
+        vg = jax.jit(jax.value_and_grad(
+            lambda t: chi2_fn(jnp.asarray(t))))
 
-    res = _scipy_minimize(fun, theta0, jac=True, method="L-BFGS-B",
-                          options={"maxiter": cfg.cg_niter,
-                                   "ftol": cfg.cg_ftol * 1e-3,
-                                   "gtol": 1e-12})
+        def fun(t):
+            val, grad = vg(jnp.asarray(t))
+            return float(val), np.asarray(grad, dtype=np.float64)
+        jac = True
+
+    if cfg.cg_method == 1:
+        res = _scipy_minimize(fun, theta0, jac=jac, method="CG",
+                              options={"maxiter": cfg.cg_niter,
+                                       "gtol": cfg.cg_ftol})
+    else:
+        res = _scipy_minimize(fun, theta0, jac=jac, method="L-BFGS-B",
+                              options={"maxiter": cfg.cg_niter,
+                                       "ftol": cfg.cg_ftol * 1e-3,
+                                       "gtol": 1e-12})
     return np.asarray(res.x)
 
 

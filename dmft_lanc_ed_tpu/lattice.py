@@ -85,11 +85,25 @@ class LatticeSolver:
         """[nlat, nb] initial packed baths."""
         return np.stack([s.init_bath() for s in self.solvers])
 
-    def solve(self, baths: np.ndarray) -> LatticeResult:
+    def solve(self, baths: np.ndarray,
+              devices: Optional[list] = None) -> LatticeResult:
+        """Solve all sites; `devices` round-robins sites over chips.
+
+        The reference distributes inequivalent sites over MPI ranks
+        (do ilat=1+MPI_ID,Nsites,MPI_SIZE, ED_MAIN.f90:603); here site i's
+        compute is placed on devices[i % ndev] via jax.default_device, the
+        single-controller analogue — async dispatch overlaps device work
+        across sites until each site's host-side reduction.
+        """
+        import jax
         results = []
         for i, solver in enumerate(self.solvers):
             log.info("lattice site %d/%d", i + 1, self.nlat)
-            results.append(solver.solve(baths[i]))
+            if devices:
+                with jax.default_device(devices[i % len(devices)]):
+                    results.append(solver.solve(baths[i]))
+            else:
+                results.append(solver.solve(baths[i]))
         return LatticeResult(results)
 
     def fit_baths(self, weiss: np.ndarray, baths: np.ndarray) -> np.ndarray:

@@ -95,3 +95,38 @@ def test_total_ud_false_rejects_offdiag_hloc():
                    lmats=16, lreal=8)
     with pytest.raises(ValueError):
         _solve(cfg, hloc=hloc)
+
+
+def test_fit_cg_grad_and_method_variants():
+    """cg_grad=1 (numeric gradient) and cg_method=1 (nonlinear CG) must
+    reach the same fitted bath as the default autodiff L-BFGS."""
+    import numpy as np
+    from dmft_lanc_ed_tpu.bath import init_bath, pack_bath, unpack_bath
+    from dmft_lanc_ed_tpu.bath_functions import delta_bath
+    from dmft_lanc_ed_tpu.config import EDConfig
+    from dmft_lanc_ed_tpu.fit import chi2_fitgf
+    from dmft_lanc_ed_tpu.solver import matsubara_grid
+
+    cfg0 = EDConfig(norb=1, nbath=3, uloc=(0.0,), beta=20.0, lmats=128,
+                    lfit=64, cg_scheme="delta")
+    rng = np.random.default_rng(2)
+    start = pack_bath(cfg0, init_bath(cfg0))
+    target_arr = start + 0.05 * rng.normal(size=start.shape)
+    wm = matsubara_grid(cfg0)[:cfg0.lfit]
+    tgt = np.asarray(delta_bath(cfg0, unpack_bath(cfg0, target_arr),
+                                1j * wm))
+    hloc = np.zeros((1, 1, 1, 1))
+    fits = {}
+    for name, over in [("default", {}), ("numgrad", {"cg_grad": 1}),
+                       ("cgmeth", {"cg_method": 1})]:
+        cfg = cfg0.replace(**over) if over else cfg0
+        b = chi2_fitgf(cfg, tgt, start.copy(), hloc)
+        fits[name] = np.asarray(delta_bath(cfg, unpack_bath(cfg, b),
+                                           1j * wm))
+    # each optimizer variant must recover the target hybridization
+    # (they stop at slightly different points; compare to the target)
+    for name, d in fits.items():
+        assert np.abs(d - tgt).max() < 5e-3, name
+    for name in ("numgrad", "cgmeth"):
+        np.testing.assert_allclose(fits[name], fits["default"],
+                                   atol=5e-3, rtol=0)

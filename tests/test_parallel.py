@@ -97,3 +97,26 @@ def test_padding_region_is_invariant():
     assert np.all(y[dd:, :] == 0.0) and np.all(y[:, du:] == 0.0)
     y0 = np.asarray(apply_h(h, jnp.asarray(v[:dd, :du])))
     np.testing.assert_allclose(y[:dd, :du], y0, atol=1e-13)
+
+
+def test_lattice_sites_distributed_over_devices():
+    """Per-device inequivalent-site distribution (ED_MAIN round-robin
+    analogue) must match the single-device site loop exactly."""
+    import jax
+    import numpy as np
+    from dmft_lanc_ed_tpu.config import EDConfig
+    from dmft_lanc_ed_tpu.lattice import LatticeSolver
+
+    cfg = EDConfig(norb=1, nbath=3, uloc=(2.0,), beta=20.0, lmats=64,
+                   lreal=32)
+    hloc = np.zeros((3, 1, 1, 1, 1))
+    hloc[1, 0, 0, 0, 0] = 0.3
+    hloc[2, 0, 0, 0, 0] = -0.2
+    lat = LatticeSolver(cfg, 3, hloc=hloc)
+    baths = lat.init_baths()
+    res_serial = lat.solve(baths)
+    lat2 = LatticeSolver(cfg, 3, hloc=hloc)
+    res_dist = lat2.solve(baths, devices=jax.devices())
+    np.testing.assert_allclose(res_dist.dens, res_serial.dens, atol=1e-12)
+    np.testing.assert_allclose(res_dist.sigma_mats, res_serial.sigma_mats,
+                               atol=1e-10)
