@@ -127,8 +127,17 @@ class EDConfig:
 
     # --- tpu/runtime extensions (no reference analogue) -------------------
     ed_dtype: str = "float64"      # compute dtype for the ED core
-    ed_backend: str = "auto"       # matvec backend: auto | ell | dense | pallas
+    ed_backend: str = "auto"       # auto | ell | direct | dense | pallas
+    # matmul precision of the dense/pallas backends:
+    #   f64   — exact (CPU: BLAS dgemm; TPU: emulated, slow)
+    #   mixed — f32 MXU matmuls at HIGHEST (~1e-7 matvec error) + automatic
+    #           f64 Rayleigh-Ritz polish of eigenpairs
+    #   fast  — f32 MXU matmuls at HIGH (3-pass bf16, ~2x mixed throughput)
+    ed_precision: str = "f64"
     mesh_shape: Tuple[int, ...] = ()  # device mesh for sharded sector matvec
+    # sectors with dim_dw >= ed_shard_min_dimdw run the dw-sharded matvec
+    # when a mesh is configured (below it, sharding overhead dominates)
+    ed_shard_min_dimdw: int = 64
 
     # ----------------------------------------------------------------------
     def __post_init__(self):
@@ -145,6 +154,10 @@ class EDConfig:
             raise ValueError(f"unknown bath_type {self.bath_type!r}")
         if self.ed_diag_type not in ("lanc", "full"):
             raise ValueError(f"unknown ed_diag_type {self.ed_diag_type!r}")
+        if self.ed_backend not in ("auto", "ell", "direct", "dense", "pallas"):
+            raise ValueError(f"unknown ed_backend {self.ed_backend!r}")
+        if self.ed_precision not in ("f64", "mixed", "fast"):
+            raise ValueError(f"unknown ed_precision {self.ed_precision!r}")
         if not self.ed_total_ud and self.bath_type == "hybrid":
             raise ValueError("ed_total_ud=False is incompatible with hybrid bath "
                              "(ED_SETUP.f90 ed_checks_global)")

@@ -18,6 +18,7 @@ import logging
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,11 +26,28 @@ from .bath import Bath
 from .config import EDConfig
 from .eigenspace import EigenState, StateList
 from .hamiltonian import build_sector_hamiltonian, dense_hamiltonian
-from .ops.factory import make_sector_op
+from .ops.factory import (apply_is_exact, exact_apply, make_sector_op,
+                          resolve_backend)
 from .ops.lanczos import lanczos_ground_state
 from .sectors import SectorQN, SectorTable
 
 log = logging.getLogger("dmft_lanc_ed_tpu")
+
+
+def _lanc_tol(cfg: EDConfig) -> float:
+    """Krylov residual tolerance honoring the matvec noise floor: mixed/fast
+    precision matvecs carry ~1e-7/1e-6 relative error, below which the
+    Lanczos residual stagnates — the f64 Rayleigh-Ritz polish recovers the
+    remaining digits afterwards."""
+    floor = {"f64": 1e-14, "mixed": 3e-6, "fast": 3e-5}
+    backend = resolve_backend(cfg)
+    if backend == "pallas":
+        prec = "fast" if cfg.ed_precision == "fast" else "mixed"
+    elif backend == "dense":
+        prec = cfg.ed_precision
+    else:
+        prec = "f64"
+    return max(cfg.lanc_tolerance, floor[prec])
 
 
 @dataclass
@@ -70,6 +88,10 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
     if cfg.ed_diag_type == "full":
         return _diag_full(cfg, table, hloc, bath, h_basis)
 
+    from .parallel.production import (shard_dense_op, should_shard,
+                                      solver_mesh)
+    mesh = solver_mesh(cfg)
+
     oldzero = np.inf
     for sqn in _scan_sectors(cfg, table, ctl):
         dim = table.dim(sqn)
@@ -78,7 +100,28 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
         sec = table.sector(sqn)
 
         lanc_solve = dim > max(cfg.lanc_dim_threshold, neigen)
-        if lanc_solve:
+        if lanc_solve and should_shard(cfg, mesh, sec.dim_dw, dim):
+            # production dw-sharded solve (reference: P-ARPACK over the
+            # MPI Dw-split, ED_DIAG.f90:151-171)
+            from .ops.dense import build_dense_op
+            sop = shard_dense_op(
+                build_dense_op(cfg, sec, hloc, bath, h_basis=h_basis),
+                mesh, cfg)
+            ncv = min(dim, cfg.lanc_ncv_factor * neigen + cfg.lanc_ncv_add)
+            ncv = max(ncv, 2 * neigen + 16)
+            # start vector with exact-zero pad rows (the pad subspace is
+            # invariant; see parallel.production.pad_dense_op)
+            v0 = sop.pad_flat(jax.random.normal(
+                jax.random.PRNGKey(17), (dim,), jnp.dtype(cfg.ed_dtype)))
+            evals, evecs_pad = lanczos_ground_state(
+                sop.op, sop.apply_nd, int(np.prod(sop.vshape)), neigen,
+                ncv=min(ncv, dim), tol=_lanc_tol(cfg),
+                dtype=jnp.dtype(cfg.ed_dtype), v0=v0,
+                vshape=sop.vshape, sharding=sop.sharding,
+                polish_apply=(None if cfg.ed_precision == "f64"
+                              else sop.exact_nd))
+            evecs = np.stack([sop.unpad_flat(v) for v in evecs_pad])
+        elif lanc_solve:
             op, op_apply = make_sector_op(cfg, sec, hloc, bath,
                                           h_basis=h_basis)
             ncv = min(dim, cfg.lanc_ncv_factor * neigen + cfg.lanc_ncv_add)
@@ -86,8 +129,10 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
             evals, evecs = lanczos_ground_state(
                 op, op_apply, dim, neigen,
                 ncv=min(ncv, dim),
-                tol=max(cfg.lanc_tolerance, 1e-14),
-                dtype=jnp.dtype(cfg.ed_dtype))
+                tol=_lanc_tol(cfg),
+                dtype=jnp.dtype(cfg.ed_dtype),
+                polish_apply=(None if apply_is_exact(op_apply)
+                              else exact_apply(op)))
         else:
             h = build_sector_hamiltonian(cfg, sec, hloc, bath,
                                          h_basis=h_basis)

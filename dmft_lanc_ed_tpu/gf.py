@@ -114,20 +114,40 @@ def apply_op(cfg: EDConfig, sec_from: Sector, sec_to: Sector, vec: jnp.ndarray,
 # --------------------------------------------------------------------------
 class HCache:
     """Per-solve cache of sector operators (build once per sector); returns
-    (op, apply_fn) pairs from the backend factory."""
+    (op, apply_fn) pairs from the backend factory, and dw-sharded dense ops
+    for large target sectors when cfg.mesh_shape is set (the GF tridiag then
+    runs on scattered vectors, ED_GF_NORMAL.f90:224-238 analogue)."""
 
     def __init__(self, cfg: EDConfig, table: SectorTable, hloc, bath: Bath,
                  h_basis=None):
+        from .ops.dense import build_dense_op
         from .ops.factory import make_sector_op
+        from .parallel.production import solver_mesh
+        self.cfg = cfg
         self._build = lambda sec: make_sector_op(
             cfg, sec, hloc, bath, h_basis=h_basis)
+        self._build_dense = lambda sec: build_dense_op(
+            cfg, sec, hloc, bath, h_basis=h_basis)
         self.table = table
+        self.mesh = solver_mesh(cfg)
         self._cache: Dict[SectorQN, tuple] = {}
+        self._sharded: Dict[SectorQN, object] = {}
 
     def __call__(self, sqn: SectorQN):
         if sqn not in self._cache:
             self._cache[sqn] = self._build(self.table.sector(sqn))
         return self._cache[sqn]
+
+    def sharded(self, sqn: SectorQN):
+        """ShardedSectorOp for the sector, or None when unsharded."""
+        from .parallel.production import shard_dense_op, should_shard
+        sec = self.table.sector(sqn)
+        if not should_shard(self.cfg, self.mesh, sec.dim_dw, sec.dim):
+            return None
+        if sqn not in self._sharded:
+            self._sharded[sqn] = shard_dense_op(
+                self._build_dense(sec), self.mesh, self.cfg)
+        return self._sharded[sqn]
 
 
 def _one_excitation(cfg: EDConfig, table: SectorTable, hcache: HCache,
@@ -190,13 +210,21 @@ class _ExcBatcher:
         for jqn, tasks in self.groups.items():
             log.debug("gf batch: sector %s, %d excitations, dim %d",
                       jqn, len(tasks), tasks[0][0].shape[0])
-            op, op_apply = self.hcache(jqn)
+            sop = self.hcache.sharded(jqn)
+            if sop is not None:
+                op, op_apply = sop.op, sop.apply_nd
+            else:
+                op, op_apply = self.hcache(jqn)
             dim = tasks[0][0].shape[0]
             m = min(dim, self.cfg.lanc_ngfiter)
             bmax = max(1, self.max_bytes // max(dim * 8, 1))
             for i0 in range(0, len(tasks), bmax):
                 chunk = tasks[i0:i0 + bmax]
-                v0 = jnp.stack([t[0] for t in chunk])
+                if sop is not None:
+                    v0 = sop.pad_flat_batch(
+                        np.stack([np.asarray(t[0]) for t in chunk]))
+                else:
+                    v0 = jnp.stack([t[0] for t in chunk])
                 kernel_stats.record(m * len(chunk), getattr(op, "nnz", 0))
                 a_b, b_b = lanczos_tridiag_batched(op, v0, m, op_apply)
                 a_np = np.asarray(a_b)

@@ -2,16 +2,22 @@
 
 The reference binds `spHtimesV_p` to stored/direct variants at sector setup
 (ED_HAMILTONIAN.f90:139-166); here `make_sector_op` returns (op_pytree,
-apply_fn) chosen by cfg.ed_backend / cfg.ed_sparse_h:
+apply_fn) chosen by cfg.ed_backend / cfg.ed_sparse_h / cfg.ed_precision:
 
 - "ell" (stored)  : tensor-product ELL factors, row-gather matvec
+- "dense"         : dense tensor-product factors, MXU matmuls (the TPU
+                    production backend; honors ed_precision f64/mixed/fast)
+- "pallas"        : fused Pallas kernel over the dense factors (f32 path)
 - "direct"        : matrix-free, connectivity from bit ops on device
-- "auto"          : honors ed_sparse_h (True -> stored, False -> direct),
-                    falling back to stored where direct isn't wired
-                    (orbital-resolved sectors)
+- "auto"          : honors ed_sparse_h (True -> stored, False -> direct)
+
+Fallbacks are logged (never silent): direct -> ell for orbital-resolved
+sectors; pallas -> dense where the kernel does not apply (phonon / Jx-Jp
+sectors).
 """
 from __future__ import annotations
 
+import logging
 from typing import Callable, Optional, Tuple
 
 import numpy as np
@@ -20,24 +26,84 @@ from ..bath import Bath
 from ..config import EDConfig
 from ..hamiltonian import build_sector_hamiltonian
 from ..sectors import Sector
-from .direct import build_direct_op, matvec_direct_flat
-from .matvec import matvec_flat
+from .dense import (DenseSectorOp, build_dense_op, matvec_dense,
+                    matvec_dense_fast, matvec_dense_fast_flat,
+                    matvec_dense_flat, matvec_dense_mixed,
+                    matvec_dense_mixed_flat)
+from .direct import apply_direct, build_direct_op, matvec_direct_flat
+from .matvec import apply_h, matvec_flat
+
+log = logging.getLogger("dmft_lanc_ed_tpu")
 
 
 def direct_supported(cfg: EDConfig) -> bool:
     return cfg.ed_total_ud
 
 
-def make_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray, bath: Bath,
-                   h_basis: Optional[np.ndarray] = None
-                   ) -> Tuple[object, Callable]:
+_DENSE_APPLY = {"f64": matvec_dense_flat,
+                "mixed": matvec_dense_mixed_flat,
+                "fast": matvec_dense_fast_flat}
+
+
+def apply_is_exact(op_apply: Callable) -> bool:
+    """Whether the production apply is f64-exact (no polish needed)."""
+    from .pallas_matvec import matvec_pallas_flat
+    return op_apply not in (matvec_dense_mixed_flat, matvec_dense_fast_flat,
+                            matvec_pallas_flat)
+
+# flat apply -> natural-shape apply (used by the sharded production path)
+ND_APPLY = {matvec_flat: apply_h,
+            matvec_dense_flat: matvec_dense,
+            matvec_dense_mixed_flat: matvec_dense_mixed,
+            matvec_dense_fast_flat: matvec_dense_fast,
+            matvec_direct_flat: apply_direct}
+
+
+def resolve_backend(cfg: EDConfig) -> str:
     backend = cfg.ed_backend
     if backend == "auto":
         backend = "ell" if cfg.ed_sparse_h else "direct"
-    if backend == "direct" and not direct_supported(cfg):
-        backend = "ell"
+    return backend
+
+
+def exact_apply(op) -> Optional[Callable]:
+    """f64-exact flat apply for the given op (polish path), or None if the
+    production apply is already exact."""
+    if isinstance(op, DenseSectorOp):
+        return matvec_dense_flat
+    from .pallas_matvec import PallasSectorOp, matvec_pallas_exact_flat
+    if isinstance(op, PallasSectorOp):
+        return matvec_pallas_exact_flat
+    return None
+
+
+def make_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray, bath: Bath,
+                   h_basis: Optional[np.ndarray] = None
+                   ) -> Tuple[object, Callable]:
+    backend = resolve_backend(cfg)
+    if backend == "pallas":
+        from .pallas_matvec import pallas_applicable
+        h = build_sector_hamiltonian(cfg, sec, hloc, bath, h_basis=h_basis)
+        if pallas_applicable(h):
+            from .pallas_matvec import build_pallas_dense_op, matvec_pallas_flat
+            return build_pallas_dense_op(h), matvec_pallas_flat
+        log.warning("ed_backend=pallas: sector %s not supported by the "
+                    "fused kernel (phonons/Jx-Jp); falling back to dense",
+                    (sec.nup, sec.ndw))
+        backend = "dense"
+        op = None
+    if backend == "dense":
+        op = build_dense_op(cfg, sec, hloc, bath, h_basis=h_basis)
+        return op, _DENSE_APPLY[cfg.ed_precision]
     if backend == "direct":
-        op = build_direct_op(cfg, sec, hloc, bath, h_basis=h_basis)
-        return op, matvec_direct_flat
+        if not direct_supported(cfg):
+            log.warning("ed_backend=direct: orbital-resolved (ed_total_ud=F) "
+                        "direct matvec not wired; falling back to stored ELL")
+            backend = "ell"
+        else:
+            op = build_direct_op(cfg, sec, hloc, bath, h_basis=h_basis)
+            return op, matvec_direct_flat
+    if backend != "ell":
+        raise ValueError(f"unknown ed_backend {cfg.ed_backend!r}")
     op = build_sector_hamiltonian(cfg, sec, hloc, bath, h_basis=h_basis)
     return op, matvec_flat

@@ -120,51 +120,75 @@ def tridiag_eigh(alphas, betas) -> Tuple[np.ndarray, np.ndarray]:
 
 
 # --------------------------------------------------------------------------
-# ground-state solver: restarted Lanczos + full reorth + locking
+# ground-state solver: thick-restart Lanczos (Rayleigh-Ritz restarted)
 # --------------------------------------------------------------------------
 class _BasisResult(NamedTuple):
-    v_basis: jnp.ndarray    # [m, dim]
-    alphas: jnp.ndarray     # [m]
-    betas: jnp.ndarray      # [m] (betas[i] couples i-1,i; betas[0]=0)
+    v_basis: jnp.ndarray    # [m, *vshape]
+    t_mat: jnp.ndarray      # [m, m] projected matrix (upper triangle valid)
     beta_last: jnp.ndarray  # coupling out of the last vector (residual norm)
+    v_next: jnp.ndarray     # normalized residual direction (or zeros)
 
 
-@partial(jax.jit, static_argnames=("m", "op_apply"))
-def _build_basis(op, v0, locked, m: int, op_apply: Callable) -> _BasisResult:
-    """m-step Lanczos with CGS2 full reorth and deflation against `locked`."""
-    dim = v0.shape[0]
-    dtype = v0.dtype
+def _proj(basis: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """[k] coefficients <basis_j, w> for nd-shaped vectors."""
+    return jnp.tensordot(basis, w, axes=w.ndim)
 
-    def deflate(w):
-        return w - locked.T @ (locked @ w)
 
-    def reorth(v_basis, w):
-        w = w - v_basis.T @ (v_basis @ w)
-        w = w - v_basis.T @ (v_basis @ w)
-        return deflate(w)
+def _comb(coeff: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
+    """sum_j coeff_j basis_j (nd-shaped)."""
+    return jnp.tensordot(coeff, basis, axes=1)
 
-    v0 = deflate(v0)
-    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), _EPS)
+
+@partial(jax.jit, static_argnames=("m", "l", "op_apply"))
+def _build_basis_rr(op, prefix, theta0, v_start, m: int, l: int,
+                    op_apply: Callable) -> _BasisResult:
+    """Extend an l-vector Ritz prefix to an m-vector orthonormal basis.
+
+    Thick-restart Lanczos with CGS2 full reorthogonalization: the prefix rows
+    are Ritz vectors of the previous restart (so the projected matrix is
+    diag(theta0) on the prefix block — standard TRLan); the remaining m-l
+    vectors are built by the Lanczos recurrence with full reorth, and the
+    projected matrix T[j,i] = <v_j, H v_i> is recorded from the first-pass
+    orthogonalization coefficients. Replaces ARPACK's implicit restarts
+    (sp_eigh, ED_DIAG.f90:151-171) with a fixed-shape jitted loop.
+    """
+    dtype = v_start.dtype
+    vshape = v_start.shape
+    vb = jnp.zeros((m,) + vshape, dtype)
+    t_mat = jnp.zeros((m, m), dtype)
+    if l:
+        vb = vb.at[:l].set(prefix)
+        t_mat = t_mat.at[jnp.arange(l), jnp.arange(l)].set(theta0)
+
+    # orthonormalize the start vector against the prefix (CGS2)
+    v = v_start - _comb(_proj(vb, v_start), vb)
+    v = v - _comb(_proj(vb, v), vb)
+    v = v / jnp.maximum(jnp.linalg.norm(v), _EPS)
 
     def body(i, carry):
-        v_basis, alphas, betas, v, v_prev, beta = carry
-        v_basis = v_basis.at[i].set(v)
+        vb, t_mat, v, _ = carry
+        vb = jax.lax.dynamic_update_index_in_dim(vb, v, i, 0)
         w = op_apply(op, v)
-        alpha = jnp.vdot(v, w).real.astype(dtype)
-        w = w - alpha * v - beta * v_prev
-        w = reorth(v_basis, w)
-        beta_new = jnp.linalg.norm(w)
-        ok = beta_new > 1e-14
-        v_new = jnp.where(ok, w / jnp.where(ok, beta_new, 1.0), 0.0)
-        beta_new = jnp.where(ok, beta_new, 0.0)
-        return (v_basis, alphas.at[i].set(alpha), betas.at[i + 1].set(beta_new),
-                v_new, v, beta_new)
+        c1 = _proj(vb, w)               # rows > i are zero -> c1 zero there
+        t_mat = jax.lax.dynamic_update_slice(t_mat, c1[:, None], (0, i))
+        w = w - _comb(c1, vb)
+        w = w - _comb(_proj(vb, w), vb)  # second CGS pass
+        beta = jnp.linalg.norm(w)
+        ok = beta > 1e-14
+        v_new = jnp.where(ok, w / jnp.where(ok, beta, 1.0), 0.0)
+        beta = jnp.where(ok, beta, 0.0)
+        return vb, t_mat, v_new, beta
 
-    init = (jnp.zeros((m, dim), dtype), jnp.zeros((m,), dtype),
-            jnp.zeros((m + 1,), dtype), v0, jnp.zeros_like(v0),
-            jnp.array(0.0, dtype))
-    v_basis, alphas, betas, _, _, _ = jax.lax.fori_loop(0, m, body, init)
-    return _BasisResult(v_basis, alphas, betas[:m], betas[m])
+    init = (vb, t_mat, v, jnp.array(0.0, dtype))
+    vb, t_mat, v_next, beta_last = jax.lax.fori_loop(l, m, body, init)
+    return _BasisResult(vb, t_mat, beta_last, v_next)
+
+
+def _ritz(t_mat: np.ndarray, m: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Host eigendecomposition of the (upper-triangle-valid) projected T."""
+    t = np.triu(t_mat[:m, :m])
+    t = t + np.triu(t, 1).T
+    return np.linalg.eigh(t)
 
 
 def lanczos_ground_state(
@@ -174,77 +198,128 @@ def lanczos_ground_state(
     neigen: int,
     ncv: Optional[int] = None,
     tol: float = 1e-14,
-    max_restarts: int = 200,
+    max_restarts: int = 400,
     seed: int = 17,
     dtype=jnp.float64,
     v0: Optional[jnp.ndarray] = None,
+    vshape: Optional[Tuple[int, ...]] = None,
+    sharding=None,
+    polish_apply: Optional[Callable] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Lowest `neigen` eigenpairs of the operator. Replaces ARPACK `sp_eigh`.
 
-    Returns (energies [k], vectors [k, dim]) ascending, k == neigen.
+    Vectors live in their natural shape `vshape` (default flat ``(dim,)``) so
+    the same solver runs serial or SPMD-sharded: pass a
+    ``jax.sharding.NamedSharding`` for the vector layout (e.g. dw-sharded
+    [DimDw, DimUp]) and XLA inserts the psum/reduce-scatter collectives in
+    the projections — the P-ARPACK distributed-reduction analogue.
+
+    With ``polish_apply`` (an f64-exact apply), eigenpairs from a
+    mixed-precision run are refined by :func:`refine_eigenpairs`.
+
+    Returns (energies [k], vectors [k, dim] flat) ascending, k == neigen.
     """
+    vshape = tuple(vshape) if vshape is not None else (dim,)
     neigen = min(neigen, dim)
     m = ncv or max(2 * neigen + 16, 32)
     m = min(m, dim)
+    l_keep = min(max(2 * neigen, neigen + 4), max(m - 4, 1))
     key = jax.random.PRNGKey(seed)
-    locked_vecs = jnp.zeros((neigen, dim), dtype)
-    locked_vals: list = []
-    n_locked = 0
+
+    def put(x):
+        return jax.device_put(x, sharding) if sharding is not None else x
 
     if v0 is None:
         key, sub = jax.random.split(key)
-        v0 = jax.random.normal(sub, (dim,), dtype)
-    v0 = v0 / jnp.linalg.norm(v0)
+        v0 = jax.random.normal(sub, vshape, dtype)
+    else:
+        v0 = jnp.reshape(v0, vshape)
+    v0 = put(v0 / jnp.linalg.norm(v0))
 
     from ..utils.observability import kernel_stats
+    prefix = jnp.zeros((0,) + vshape, dtype)
+    theta0 = jnp.zeros((0,), dtype)
+    l = 0
     stall = 0
-    for _ in range(max_restarts):
-        res = _build_basis(op, v0, locked_vecs, m, op_apply)
-        kernel_stats.record(m, getattr(op, "nnz", 0))
-        theta_np, s_np = tridiag_eigh(res.alphas, res.betas)
-        s = jnp.asarray(s_np)
-        resid_np = np.abs(float(res.beta_last) * s_np[-1, :])
-        newly = 0
-        for j in range(m):
-            if n_locked >= neigen:
-                break
-            scale = max(abs(float(theta_np[j])), 1.0)
-            if resid_np[j] <= tol * scale:
-                vec = res.v_basis.T @ s[:, j]
-                nrm = jnp.linalg.norm(vec)
-                if float(nrm) < 1e-8:
-                    continue
-                vec = vec / nrm
-                locked_vecs = locked_vecs.at[n_locked].set(vec)
-                locked_vals.append(float(theta_np[j]))
-                n_locked += 1
-                newly += 1
-            else:
-                break  # lock only a converged prefix to keep spectral order
-        if n_locked >= neigen:
-            break
-        # restart from the best unconverged Ritz vector
-        v0 = res.v_basis.T @ s[:, min(newly, m - 1)]
-        nrm = float(jnp.linalg.norm(v0))
-        if nrm < 1e-10 or float(res.beta_last) == 0.0:
-            # invariant subspace exhausted — fresh random restart (deflated
-            # inside _build_basis against the locked set)
-            key, sub = jax.random.split(key)
-            v0 = jax.random.normal(sub, (dim,), dtype)
-        v0 = v0 / jnp.linalg.norm(v0)
-        # adaptive basis growth: clustered/near-degenerate eigenvalues
-        # converge slowly with a small ncv — grow it when restarts stall
-        # (replaces ARPACK's implicit-restart robustness)
-        stall = 0 if newly else stall + 1
-        if stall >= 10 and m < dim:
-            m = min(dim, 2 * m)
-            stall = 0
-    else:
-        raise RuntimeError(
-            f"lanczos_ground_state: no convergence after {max_restarts} restarts "
-            f"({n_locked}/{neigen} locked, dim={dim})")
+    n_conv_prev = 0
+    for restart in range(max_restarts):
+        res = _build_basis_rr(op, prefix, theta0, v0, m, l, op_apply)
+        kernel_stats.record(m - l, getattr(op, "nnz", 0))
+        theta_np, s_np = _ritz(np.asarray(res.t_mat), m)
+        resid = np.abs(float(res.beta_last) * s_np[m - 1, :])
+        # converged prefix count (keep spectral order)
+        n_conv = 0
+        while (n_conv < m and
+               resid[n_conv] <= tol * max(abs(theta_np[n_conv]), 1.0)):
+            n_conv += 1
+        if n_conv >= neigen:
+            s = jnp.asarray(s_np[:, :neigen])
+            vecs = jnp.tensordot(s.T, res.v_basis, axes=1)  # [k, *vshape]
+            vals = theta_np[:neigen]
+            if polish_apply is not None:
+                vals, vecs = refine_eigenpairs(op, polish_apply, vecs,
+                                               sharding=sharding)
+            vecs_flat = np.asarray(vecs).reshape(neigen, -1)
+            order = np.argsort(vals)
+            return np.asarray(vals)[order], vecs_flat[order]
 
-    vals = np.array(locked_vals)
-    order = np.argsort(vals)
-    vecs = np.asarray(locked_vecs)[:n_locked][order]
-    return vals[order], vecs
+        # thick restart: keep the lowest l_keep Ritz pairs + the residual
+        l = min(l_keep, m - 2)
+        s = jnp.asarray(s_np[:, :l])
+        prefix = jnp.tensordot(s.T, res.v_basis, axes=1)
+        theta0 = jnp.asarray(theta_np[:l], dtype)
+        if float(res.beta_last) > 0.0:
+            v0 = res.v_next
+        else:
+            # invariant subspace exhausted — fresh random direction
+            key, sub = jax.random.split(key)
+            v0 = put(jax.random.normal(sub, vshape, dtype))
+        # adaptive basis growth for clustered/slow spectra
+        stall = 0 if n_conv > n_conv_prev else stall + 1
+        n_conv_prev = n_conv
+        m_cap = min(dim, max(4 * (ncv or 32), 256))
+        if stall >= 20 and m < m_cap:
+            m = min(m_cap, 2 * m)
+            l_keep = min(max(2 * neigen, neigen + 4), max(m - 4, 1))
+            stall = 0
+    raise RuntimeError(
+        f"lanczos_ground_state: no convergence after {max_restarts} restarts "
+        f"({n_conv_prev}/{neigen} converged, dim={dim})")
+
+
+def refine_eigenpairs(op, op_apply: Callable, vecs: jnp.ndarray,
+                      steps: int = 2, sharding=None
+                      ) -> Tuple[np.ndarray, jnp.ndarray]:
+    """f64 Rayleigh-Ritz polish of approximate eigenpairs.
+
+    Builds the block Krylov space [V, HV, ..., H^steps V] with the exact
+    apply, orthonormalizes it through its Gram matrix (host LAPACK), and
+    solves the small projected eigenproblem. An input eigenvector with error
+    eta returns with eigenvalue error O(eta^2) (Rayleigh quotient) or better
+    (the extra Krylov blocks square the subspace error again) — this is how
+    mixed-precision MXU Lanczos recovers f64-accurate spectra.
+    """
+    k = vecs.shape[0]
+    blocks = [vecs]
+    for _ in range(steps):
+        prev = blocks[-1]
+        blocks.append(jnp.stack([
+            op_apply(op, prev[j]).reshape(prev[j].shape) for j in range(k)]))
+    b_mat = jnp.concatenate(blocks, axis=0)         # [b, *vshape]
+    nd = b_mat.ndim - 1
+    gram = np.asarray(jnp.tensordot(b_mat, b_mat, axes=[tuple(range(1, nd + 1)),
+                                                        tuple(range(1, nd + 1))]))
+    w, u = np.linalg.eigh(gram)
+    keep = w > 1e-12 * w.max()
+    whiten = u[:, keep] / np.sqrt(w[keep])          # [b, r]
+    basis = jnp.tensordot(jnp.asarray(whiten).T, b_mat, axes=1)  # [r, *vs]
+    hb = jnp.stack([op_apply(op, basis[j]).reshape(basis[j].shape)
+                    for j in range(basis.shape[0])])
+    a_mat = np.asarray(jnp.tensordot(basis, hb, axes=[tuple(range(1, nd + 1)),
+                                                      tuple(range(1, nd + 1))]))
+    a_mat = 0.5 * (a_mat + a_mat.T)
+    vals, s = np.linalg.eigh(a_mat)
+    vecs_out = jnp.tensordot(jnp.asarray(s[:, :k]).T, basis, axes=1)
+    nrm = jnp.sqrt(jnp.sum(vecs_out.reshape(k, -1) ** 2, axis=1))
+    vecs_out = vecs_out / nrm.reshape((k,) + (1,) * nd)
+    return vals[:k], vecs_out

@@ -1,0 +1,202 @@
+"""Production dw-sharded sector solve — the path the solver actually uses.
+
+TPU-native re-design of the reference's intra-sector MPI parallelism as it
+is *integrated* (not demonstrated): in the reference every large sector is
+diagonalized through the distributed matvec (P-ARPACK reverse communication
+driving spMatVec_mpi_main, ED_DIAG.f90:151-171) and the GF tridiagonal runs
+on scattered vectors (ED_GF_NORMAL.f90:224-238). Here the same integration
+is achieved the idiomatic JAX way: the dense tensor-product factors are
+placed on a 1-D device mesh with dw-sharded layouts and the *unchanged*
+solver code (nd-shape Lanczos, :mod:`..ops.lanczos`) runs under jit — the
+SPMD partitioner turns
+
+- ``V @ H_up``   into a shard-local matmul (up index is contiguous/shard),
+- ``H_dw @ V``   into a collective contraction over the sharded dw axis
+  (all-gather or reduce-scatter over ICI — the vector_transpose_MPI
+  analogue, ED_HAMILTONIAN_COMMON.f90:53-118),
+- Lanczos dots/norms into psum reductions (P-ARPACK's internal MPI_AllReduce
+  analogue).
+
+The communicator-shrink edge case (DimDw < nranks, ED_HAMILTONIAN.f90:66-94)
+is replaced by zero padding of the dw axis to a mesh multiple: padded rows
+are exact zeros, invariant under the matvec and invisible to dot products.
+
+Phonon sectors shard the same way: the vector is [DimPh, DimDw, DimUp] with
+the middle axis sharded; phonon/e-ph terms act on unsharded axes. (This
+drops round 1's phonon NotImplementedError.)
+
+The explicit shard_map + lax.all_to_all formulation lives in
+:mod:`.matvec` as the low-level engine and equality oracle; this module is
+what `diag.py` / `gf.py` consume when ``cfg.mesh_shape`` is set.
+"""
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EDConfig
+from ..ops.dense import (DenseSectorOp, matvec_dense, matvec_dense_fast,
+                         matvec_dense_mixed)
+from .mesh import make_mesh, pad_to_multiple
+
+log = logging.getLogger("dmft_lanc_ed_tpu")
+
+_ND_APPLY = {"f64": matvec_dense, "mixed": matvec_dense_mixed,
+             "fast": matvec_dense_fast}
+
+
+def solver_mesh(cfg: EDConfig) -> Optional[Mesh]:
+    """The device mesh requested by cfg.mesh_shape (None if unsharded)."""
+    if not cfg.mesh_shape:
+        return None
+    n = int(math.prod(cfg.mesh_shape))
+    if n <= 1:
+        return None
+    if len(jax.devices()) < n:
+        log.warning("mesh_shape=%s requests %d devices but only %d are "
+                    "visible — running unsharded", cfg.mesh_shape, n,
+                    len(jax.devices()))
+        return None
+    return make_mesh(n)
+
+
+@dataclass
+class ShardedSectorOp:
+    """A dw-sharded (padded) dense sector operator + its layout info."""
+    op: DenseSectorOp          # padded, device_put with sharded layout
+    apply_nd: Callable         # nd-shape production apply
+    exact_nd: Callable         # nd-shape f64 apply (polish)
+    mesh: Mesh
+    vshape: Tuple[int, ...]    # padded natural vector shape
+    vspec: P                   # PartitionSpec of the vector
+    dim_dw: int                # logical (unpadded) dw dimension
+    dim: int                   # logical flat dimension
+
+    @property
+    def sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, self.vspec)
+
+    @property
+    def nnz(self) -> int:
+        return self.op.nnz
+
+    def pad_flat(self, v_flat: jnp.ndarray) -> jnp.ndarray:
+        """Flat logical vector -> padded natural-shape sharded array."""
+        dd_p = self.vshape[-2]
+        if self.op.ph_diag is not None:
+            v = v_flat.reshape(self.vshape[0], self.dim_dw, self.vshape[-1])
+            v = jnp.pad(v, ((0, 0), (0, dd_p - self.dim_dw), (0, 0)))
+        else:
+            v = v_flat.reshape(self.dim_dw, self.vshape[-1])
+            v = jnp.pad(v, ((0, dd_p - self.dim_dw), (0, 0)))
+        return jax.device_put(v, self.sharding)
+
+    def unpad_flat(self, v_nd: np.ndarray) -> np.ndarray:
+        """Padded natural-shape array -> flat logical vector (host)."""
+        v = np.asarray(v_nd).reshape(self.vshape)
+        if self.op.ph_diag is not None:
+            return v[:, :self.dim_dw, :].reshape(-1)
+        return v[:self.dim_dw, :].reshape(-1)
+
+    def pad_flat_batch(self, vs: np.ndarray) -> jnp.ndarray:
+        """[B, dim] flat logical batch -> [B, *vshape] padded + sharded."""
+        b = vs.shape[0]
+        dd_p = self.vshape[-2]
+        if self.op.ph_diag is not None:
+            v = np.asarray(vs).reshape(b, self.vshape[0], self.dim_dw,
+                                       self.vshape[-1])
+            v = np.pad(v, ((0, 0), (0, 0), (0, dd_p - self.dim_dw), (0, 0)))
+        else:
+            v = np.asarray(vs).reshape(b, self.dim_dw, self.vshape[-1])
+            v = np.pad(v, ((0, 0), (0, dd_p - self.dim_dw), (0, 0)))
+        spec = P(*((None,) + tuple(self.vspec)))
+        return jax.device_put(jnp.asarray(v), NamedSharding(self.mesh, spec))
+
+
+PAD_SHIFT = 1.0e3   # diagonal shift of padded rows (see pad_dense_op)
+
+
+def pad_dense_op(op: DenseSectorOp, n: int) -> DenseSectorOp:
+    """Zero-pad the dw axis to a multiple of the mesh size (communicator-
+    shrink replacement).
+
+    The padded rows form an exactly decoupled invariant subspace (their hdw
+    rows/columns are zero, so a vector with zero pad rows keeps them zero
+    through the matvec, norms, and dots). Their diagonal is shifted by
+    +PAD_SHIFT so the spurious pad spectrum sits far above every physical
+    eigenvalue — a lowest-eigenpair Lanczos can never converge into it even
+    if roundoff or a random restart leaks weight there."""
+    dd = op.dim_dw
+    ddp = pad_to_multiple(dd, n)
+    if ddp == dd:
+        return op
+    pd = ddp - dd
+    kw = {}
+    if op.nd_a is not None:
+        kw.update(nd_a=op.nd_a, nd_a32=op.nd_a32,
+                  nd_b=jnp.pad(op.nd_b, ((0, 0), (0, pd), (0, pd))),
+                  nd_b32=jnp.pad(op.nd_b32, ((0, 0), (0, pd), (0, pd))))
+    if op.ph_diag is not None:
+        kw.update(ph_diag=op.ph_diag, eph_x=op.eph_x,
+                  eph_el=jnp.pad(op.eph_el, ((0, pd), (0, 0))))
+    diag = jnp.pad(op.diag, ((0, pd), (0, 0)), constant_values=PAD_SHIFT)
+    return DenseSectorOp(
+        diag=diag,
+        hup=op.hup, hup32=op.hup32,
+        hdw=jnp.pad(op.hdw, ((0, pd), (0, pd))),
+        hdw32=jnp.pad(op.hdw32, ((0, pd), (0, pd))),
+        nnz_count=op.nnz_count, **kw)
+
+
+def shard_dense_op(op: DenseSectorOp, mesh: Mesh, cfg: EDConfig
+                   ) -> ShardedSectorOp:
+    """Pad + place the dense factors on the mesh with dw-sharded layouts."""
+    n = mesh.devices.size
+    ax = mesh.axis_names[0]
+    dim_dw, dim = op.dim_dw, op.dim
+    has_ph = op.ph_diag is not None
+    op = pad_dense_op(op, n)
+    row = NamedSharding(mesh, P(ax, None))
+    rep = NamedSharding(mesh, P())
+    put = jax.device_put
+    kw = {}
+    if op.nd_a is not None:
+        kw.update(nd_a=put(op.nd_a, rep), nd_a32=put(op.nd_a32, rep),
+                  nd_b=put(op.nd_b, NamedSharding(mesh, P(None, ax, None))),
+                  nd_b32=put(op.nd_b32,
+                             NamedSharding(mesh, P(None, ax, None))))
+    if has_ph:
+        kw.update(ph_diag=put(op.ph_diag, rep), eph_x=put(op.eph_x, rep),
+                  eph_el=put(op.eph_el, row))
+    sharded = DenseSectorOp(
+        diag=put(op.diag, row),
+        hup=put(op.hup, rep), hup32=put(op.hup32, rep),
+        hdw=put(op.hdw, row), hdw32=put(op.hdw32, row),
+        nnz_count=op.nnz_count, **kw)
+    if has_ph:
+        vshape = (op.dim_ph, op.dim_dw, op.dim_up)
+        vspec = P(None, ax, None)
+    else:
+        vshape = (op.dim_dw, op.dim_up)
+        vspec = P(ax, None)
+    return ShardedSectorOp(
+        op=sharded, apply_nd=_ND_APPLY[cfg.ed_precision],
+        exact_nd=matvec_dense, mesh=mesh, vshape=vshape, vspec=vspec,
+        dim_dw=dim_dw, dim=dim)
+
+
+def should_shard(cfg: EDConfig, mesh: Optional[Mesh], dim_dw: int,
+                 dim: int) -> bool:
+    """Shard when a mesh is configured and the sector is large enough for
+    the collectives to pay (small sectors stay single-device, the analogue
+    of the reference's communicator shrink for tiny DimDw)."""
+    if mesh is None:
+        return False
+    return dim_dw >= max(cfg.ed_shard_min_dimdw, mesh.devices.size)

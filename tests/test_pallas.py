@@ -1,21 +1,26 @@
-"""Pallas matvec kernel correctness (interpret mode on CPU)."""
-import numpy as np
+"""Fused Pallas dense-factor matvec kernel (interpret mode on CPU) and its
+factory dispatch. Device parity with the XLA path is covered by bench.py and
+the TPU verification drive; here the kernel math is validated against the
+ELL backend and the full-Fock oracle discipline of the suite."""
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
-from dmft_lanc_ed_tpu.config import EDConfig
-from dmft_lanc_ed_tpu.sectors import SectorTable, qn
 from dmft_lanc_ed_tpu.bath import Bath
+from dmft_lanc_ed_tpu.config import EDConfig
 from dmft_lanc_ed_tpu.hamiltonian import build_sector_hamiltonian
 from dmft_lanc_ed_tpu.ops.matvec import apply_h
-from dmft_lanc_ed_tpu.ops.pallas_matvec import (build_pallas_op,
-                                                matvec_pallas, ell_to_runs,
-                                                _encode_runs)
+from dmft_lanc_ed_tpu.ops.pallas_matvec import (PallasSectorOp,
+                                                build_pallas_dense_op,
+                                                matvec_pallas,
+                                                matvec_pallas_exact_flat,
+                                                pallas_applicable)
 
 RNG = np.random.default_rng(5)
 
 
 def _h(cfg, sqn, seed=0):
+    from dmft_lanc_ed_tpu.sectors import SectorTable
     rng = np.random.default_rng(seed)
     bath = Bath(
         e=jnp.asarray(rng.normal(size=(1, cfg.norb, cfg.nbath))),
@@ -25,44 +30,68 @@ def _h(cfg, sqn, seed=0):
     return sec, build_sector_hamiltonian(cfg, sec, hloc, bath)
 
 
-def test_runs_cover_all_entries():
-    cfg = EDConfig(norb=1, nbath=5, uloc=(1.0,))
-    sec, h = _h(cfg, qn(3, 3))
-    runs = _encode_runs(np.asarray(h.dw_cols), np.asarray(h.dw_vals))
-    total = sum(r[2] for r in runs)
-    nnz = int((np.asarray(h.dw_vals) != 0).sum())
-    assert total == nnz
-    # reconstruct the dense factor from runs
-    dd = sec.dim_dw
-    dense = np.zeros((dd, dd))
-    for d0, s0, L, v in runs:
-        for i in range(L):
-            dense[d0 + i, s0 + i] += v
-    ref = np.zeros((dd, dd))
-    cols = np.asarray(h.dw_cols)
-    vals = np.asarray(h.dw_vals)
-    for k in range(cols.shape[1]):
-        np.add.at(ref, (np.arange(dd), cols[:, k]), vals[:, k])
-    np.testing.assert_allclose(dense, ref)
-
-
 @pytest.mark.parametrize("sqn", [((3,), (3,)), ((2,), (4,))])
-def test_pallas_matvec_matches_xla(sqn):
-    cfg = EDConfig(norb=1, nbath=5, uloc=(1.8,), ed_dtype="float32")
+def test_pallas_fused_matches_xla(sqn):
+    cfg = EDConfig(norb=1, nbath=5, uloc=(1.8,))
     sec, h = _h(cfg, sqn)
-    op = build_pallas_op(h)
-    v = RNG.normal(size=(sec.dim_dw, sec.dim_up)).astype(np.float32)
-    y_ref = np.asarray(apply_h(h, jnp.asarray(v, jnp.float64)))
-    y_pal = np.asarray(matvec_pallas(op, jnp.asarray(v), interpret=True))
-    np.testing.assert_allclose(y_pal, y_ref, atol=2e-5)
+    assert pallas_applicable(h)
+    op = build_pallas_dense_op(h)
+    v = jnp.asarray(RNG.normal(size=(sec.dim_dw, sec.dim_up)))
+    y_ref = np.asarray(apply_h(h, v))
+    y_pal = np.asarray(matvec_pallas(op, v, interpret=True))
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(y_pal, y_ref, atol=1e-5 * scale)
+    # the exact f64 apply over the same factors matches to f64
+    y_exact = np.asarray(
+        matvec_pallas_exact_flat(op, v.reshape(-1))).reshape(y_ref.shape)
+    np.testing.assert_allclose(y_exact, y_ref, atol=1e-12 * scale)
 
 
-def test_pallas_matvec_two_orbitals():
-    cfg = EDConfig(norb=2, nbath=2, uloc=(1.0, 1.5), ust=0.3, jh=0.05,
-                   ed_dtype="float32")
-    sec, h = _h(cfg, qn(3, 2), seed=3)
-    op = build_pallas_op(h)
-    v = RNG.normal(size=(sec.dim_dw, sec.dim_up)).astype(np.float32)
-    y_ref = np.asarray(apply_h(h, jnp.asarray(v, jnp.float64)))
-    y_pal = np.asarray(matvec_pallas(op, jnp.asarray(v), interpret=True))
-    np.testing.assert_allclose(y_pal, y_ref, atol=2e-5)
+def test_pallas_two_orbitals():
+    cfg = EDConfig(norb=2, nbath=2, uloc=(1.0, 1.5), ust=0.3, jh=0.05)
+    sec, h = _h(cfg, ((3,), (2,)), seed=3)
+    op = build_pallas_dense_op(h)
+    v = jnp.asarray(RNG.normal(size=(sec.dim_dw, sec.dim_up)))
+    y_ref = np.asarray(apply_h(h, v))
+    y_pal = np.asarray(matvec_pallas(op, v, interpret=True))
+    np.testing.assert_allclose(y_pal, y_ref, atol=1e-5 * np.abs(y_ref).max())
+
+
+def test_pallas_applicability_gates():
+    # Jx/Jp sectors are not covered by the fused kernel
+    cfg = EDConfig(norb=2, nbath=2, uloc=(1.0, 1.0), ust=0.5, jh=0.1,
+                   jx=0.1, jp=0.1)
+    _, h = _h(cfg, ((3,), (3,)), seed=1)
+    assert not pallas_applicable(h)
+    # phonon sectors neither
+    cfg = EDConfig(norb=1, nbath=3, uloc=(1.0,), nph=2, g_ph=(0.2,),
+                   w0_ph=0.5)
+    _, h = _h(cfg, ((2,), (2,)), seed=1)
+    assert not pallas_applicable(h)
+
+
+def test_factory_pallas_dispatch_and_fallback(caplog):
+    """ed_backend=pallas dispatches the fused op, and falls back (loudly)
+    to dense for unsupported sectors."""
+    from dmft_lanc_ed_tpu.ops.dense import DenseSectorOp
+    from dmft_lanc_ed_tpu.ops.factory import make_sector_op
+    from dmft_lanc_ed_tpu.sectors import SectorTable
+    from dmft_lanc_ed_tpu.bath import init_bath
+
+    cfg = EDConfig(norb=1, nbath=4, uloc=(2.0,), ed_backend="pallas")
+    table = SectorTable(cfg)
+    bath = init_bath(cfg)
+    hloc = np.zeros((1, 1, 1, 1))
+    op, apply_fn = make_sector_op(cfg, table.sector(((2,), (2,))), hloc, bath)
+    assert isinstance(op, PallasSectorOp)
+
+    cfg2 = EDConfig(norb=1, nbath=3, uloc=(2.0,), nph=1, g_ph=(0.2,),
+                    w0_ph=0.5, ed_backend="pallas")
+    table2 = SectorTable(cfg2)
+    bath2 = init_bath(cfg2)
+    import logging
+    with caplog.at_level(logging.WARNING, logger="dmft_lanc_ed_tpu"):
+        op2, _ = make_sector_op(cfg2, table2.sector(((2,), (2,))), hloc,
+                                bath2)
+    assert isinstance(op2, DenseSectorOp)
+    assert any("falling back to dense" in r.message for r in caplog.records)
