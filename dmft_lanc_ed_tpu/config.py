@@ -138,6 +138,12 @@ class EDConfig:
     # sectors with dim_dw >= ed_shard_min_dimdw run the dw-sharded matvec
     # when a mesh is configured (below it, sharding overhead dominates)
     ed_shard_min_dimdw: int = 64
+    # batch same-shape-bucket small sectors into one vmapped Krylov solve
+    # (replaces the reference's strictly serial sector scan, ED_DIAG.f90:58).
+    # Applied for ed_backend auto/dense/pallas; explicit ell/direct runs
+    # serial so backend cross-checks exercise the chosen kernel.
+    ed_batch_sectors: bool = True
+    ed_batch_dim_max: int = 1 << 16   # largest flat dim eligible for batching
 
     # ----------------------------------------------------------------------
     def __post_init__(self):
@@ -158,6 +164,10 @@ class EDConfig:
             raise ValueError(f"unknown ed_backend {self.ed_backend!r}")
         if self.ed_precision not in ("f64", "mixed", "fast"):
             raise ValueError(f"unknown ed_precision {self.ed_precision!r}")
+        if not self.ed_total_ud and (self.jx != 0.0 or self.jp != 0.0):
+            raise ValueError("ed_total_ud=False cannot be used with Jx!=0 "
+                             "or Jp!=0 (spin-exchange/pair-hopping violate "
+                             "per-orbital QNs; ED_SETUP.f90:71)")
         if not self.ed_total_ud and self.bath_type == "hybrid":
             raise ValueError("ed_total_ud=False is incompatible with hybrid bath "
                              "(ED_SETUP.f90 ed_checks_global)")

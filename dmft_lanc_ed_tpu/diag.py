@@ -76,6 +76,70 @@ def _scan_sectors(cfg: EDConfig, table: SectorTable,
     return qns
 
 
+def _sector_neigen(cfg: EDConfig, ctl: DiagState, sqn, dim: int) -> int:
+    if cfg.finite_t:
+        return min(dim, ctl.neigen_sector.get(sqn, cfg.lanc_nstates_sector))
+    return min(dim, cfg.lanc_nstates_sector)
+
+
+def _solve_batched_sectors(cfg: EDConfig, table: SectorTable, hloc, bath,
+                           ctl: DiagState, h_basis, mesh, qns) -> Dict:
+    """Pre-solve small Krylov sectors in vmapped shape buckets
+    (ops.batched); returns {sqn: (evals, evecs)} for solved sectors."""
+    from .ops.batched import (_pow2_at_least, bucket_key,
+                              lanczos_ground_state_bucket)
+    from .ops.dense import build_dense_op
+    from .parallel.production import should_shard
+
+    prelim: Dict = {}
+    for sqn in qns:
+        dim = table.dim(sqn)
+        neigen = _sector_neigen(cfg, ctl, sqn, dim)
+        if not dim > max(cfg.lanc_dim_threshold, neigen):
+            continue                       # dense path
+        if dim > cfg.ed_batch_dim_max:
+            continue                       # large: serial/sharded path
+        sec = table.sector(sqn)
+        if should_shard(cfg, mesh, sec.dim_dw, dim):
+            continue
+        ncv = max(min(dim, cfg.lanc_ncv_factor * neigen + cfg.lanc_ncv_add),
+                  2 * neigen + 16)
+        if dim < ncv:
+            continue                       # basis would exhaust the sector
+        key = (_pow2_at_least(sec.dim_up), _pow2_at_least(sec.dim_dw))
+        prelim.setdefault(key, []).append((sqn, sec, neigen))
+
+    results: Dict = {}
+    for key, members in prelim.items():
+        if len(members) < 2:
+            continue
+        # build ops, split by exact bucket key (nd/ph structure)
+        exact: Dict = {}
+        for sqn, sec, neigen in members:
+            op = build_dense_op(cfg, sec, hloc, bath, h_basis=h_basis)
+            exact.setdefault(bucket_key(op), []).append((sqn, op, neigen))
+        for bkey, group in exact.items():
+            if len(group) < 2:
+                continue
+            neigen = max(g[2] for g in group)
+            dims = [g[1].dim for g in group]
+            ncv = max(min(min(dims),
+                          cfg.lanc_ncv_factor * neigen + cfg.lanc_ncv_add),
+                      2 * neigen + 16)
+            ncv = min(ncv, min(dims))
+            sols = lanczos_ground_state_bucket(
+                [g[1] for g in group], neigen, tol=_lanc_tol(cfg),
+                precision=cfg.ed_precision, ncv=ncv,
+                dtype=jnp.dtype(cfg.ed_dtype))
+            n_ok = sum(s is not None for s in sols)
+            log.info("batched bucket %s: %d sectors, neigen=%d, %d solved",
+                     bkey[:2], len(group), neigen, n_ok)
+            for (sqn, _, _), sol in zip(group, sols):
+                if sol is not None:
+                    results[sqn] = sol
+    return results
+
+
 def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
                          bath: Bath, ctl: Optional[DiagState] = None,
                          h_basis: Optional[np.ndarray] = None) -> StateList:
@@ -92,15 +156,24 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
                                       solver_mesh)
     mesh = solver_mesh(cfg)
 
+    qns = _scan_sectors(cfg, table, ctl)
+    batch_results: Dict = {}
+    if cfg.ed_batch_sectors and cfg.ed_backend not in ("ell", "direct"):
+        batch_results = _solve_batched_sectors(cfg, table, hloc, bath, ctl,
+                                               h_basis, mesh, qns)
+
     oldzero = np.inf
-    for sqn in _scan_sectors(cfg, table, ctl):
+    diag_log = []
+    for sqn in qns:
         dim = table.dim(sqn)
-        neigen = min(dim, ctl.neigen_sector.get(sqn, cfg.lanc_nstates_sector)) \
-            if finite_t else min(dim, cfg.lanc_nstates_sector)
+        neigen = _sector_neigen(cfg, ctl, sqn, dim)
         sec = table.sector(sqn)
 
         lanc_solve = dim > max(cfg.lanc_dim_threshold, neigen)
-        if lanc_solve and should_shard(cfg, mesh, sec.dim_dw, dim):
+        if sqn in batch_results:
+            evals, evecs = batch_results[sqn]
+            evals, evecs = evals[:neigen], evecs[:neigen]
+        elif lanc_solve and should_shard(cfg, mesh, sec.dim_dw, dim):
             # production dw-sharded solve (reference: P-ARPACK over the
             # MPI Dw-split, ED_DIAG.f90:151-171)
             from .ops.dense import build_dense_op
@@ -140,6 +213,7 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
             w, v = np.linalg.eigh(dense)
             evals, evecs = w[:neigen], v[:, :neigen].T
 
+        diag_log.append((sqn, np.asarray(evals).copy(), lanc_solve))
         # twin reconstruction: the spin-flipped sector's eigenvector is the
         # [dw, up] transpose of this one (flip_state/twin_sector_order
         # analogue, trivial in our tensor-product layout)
@@ -171,6 +245,7 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
                         oldzero = min(oldzero, e)
                         state_list.add(EigenState(qn_i, e, vec_i,
                                                   twin=qn_i != sqn))
+    state_list.diag_log = diag_log
     _post_diag(cfg, state_list, ctl)
     return state_list
 

@@ -37,3 +37,22 @@ def dens_flat(e: np.ndarray, half_bandwidth: float) -> np.ndarray:
     e = np.asarray(e, dtype=np.float64)
     return np.where(np.abs(e) <= half_bandwidth,
                     1.0 / (2.0 * half_bandwidth), 0.0)
+
+
+def dens_2dsquare(e: np.ndarray, ts: float = 1.0) -> np.ndarray:
+    """2D square-lattice DOS with the van Hove log singularity at e=0
+    (SciFortran dens_2dsquare; used by the VHS workload, edn_hm_VHS.f90:71):
+
+        rho(e) = 1/(2 pi^2 ts) K(1 - (e/4ts)^2),   |e| < 4 ts
+
+    with K the complete elliptic integral of the first kind (m convention).
+    """
+    from scipy.special import ellipk
+    e = np.asarray(e, dtype=np.float64)
+    x = e / (4.0 * ts)
+    m = np.clip(1.0 - x * x, 0.0, 1.0)
+    # guard the K(m->1) log divergence at the band center for grid points
+    # landing exactly on 0 (finite grids integrate through it fine)
+    m = np.where(m >= 1.0, 1.0 - 1e-15, m)
+    rho = ellipk(m) / (2.0 * np.pi ** 2 * ts)
+    return np.where(np.abs(x) < 1.0, rho, 0.0)

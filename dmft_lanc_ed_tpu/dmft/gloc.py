@@ -24,16 +24,17 @@ def gloc_dos(ebands: np.ndarray, dbands: np.ndarray, h0: np.ndarray,
     """
     nspin, _, norb, _, L = sigma.shape
     out = np.zeros_like(sigma)
-    zj = jnp.asarray(z)
+    z = np.asarray(z)
+    # plain NumPy: [L, Le] broadcasts are small and host-side; eager per-
+    # channel device ops would pay dispatch latency (or hang on remote
+    # backends) for no gain
     for s in range(nspin):
         for a in range(norb):
             io = a + s * norb if ebands.shape[0] > norb else a
-            e = jnp.asarray(ebands[io])
-            d = jnp.asarray(dbands[io])
-            sig = jnp.asarray(sigma[s, s, a, a])
-            zeta = zj + xmu - h0[io] - sig                 # [L]
-            g = (d[None, :] / (zeta[:, None] - e[None, :])).sum(-1)
-            out[s, s, a, a] = np.asarray(g)
+            e, d = ebands[io], dbands[io]
+            zeta = z + xmu - h0[io] - sigma[s, s, a, a]    # [L]
+            out[s, s, a, a] = (d[None, :]
+                               / (zeta[:, None] - e[None, :])).sum(-1)
     return out
 
 
@@ -63,6 +64,46 @@ def gloc_hk(hk: np.ndarray, sigma: np.ndarray, z: np.ndarray,
     return g.transpose(0, 2, 1, 3, 4)
 
 
+def gloc_blocks(hk: np.ndarray, sigma_ii: np.ndarray, z: np.ndarray,
+                xmu: float = 0.0) -> np.ndarray:
+    """Site-resolved local GF of an Nlat-block lattice Hamiltonian.
+
+    hk: [Nk, Nlat*nso, Nlat*nso] with per-site blocks in spin-major nso
+    layout; sigma_ii: [Nlat, nspin, nspin, norb, norb, L]. Embeds every
+    site's self-energy, inverts on the device ([Nk] batch per frequency —
+    the MXU-heavy path), and returns the site-diagonal blocks in the same
+    shape as sigma_ii. The real-space analogue of dmft_gloc_matsubara
+    with tridiag/full inversion (edn_bhz_2d_edge.f90, edn_wsm_slab.f90,
+    edn_hm_square_afm2.f90 Gloc construction)."""
+    nlat, nspin, _, norb, _, L = sigma_ii.shape
+    nso = nspin * norb
+    nlso = hk.shape[1]
+    assert nlso == nlat * nso, (nlso, nlat, nso)
+    sig_lso = np.zeros((L, nlso, nlso), dtype=np.complex128)
+    for il in range(nlat):
+        o = il * nso
+        blk = sigma_ii[il].transpose(0, 2, 1, 3, 4).reshape(nso, nso, L)
+        sig_lso[:, o:o + nso, o:o + nso] = blk.transpose(2, 0, 1)
+    hkj = jnp.asarray(hk)
+    eye = jnp.eye(nlso, dtype=jnp.complex128)
+
+    @jax.jit
+    def _kernel(zeta):
+        def per_freq(zm):
+            return jnp.linalg.inv(zm[None] - hkj).mean(axis=0)
+        return jax.lax.map(per_freq, zeta)
+
+    zeta = (z + xmu)[:, None, None] * eye[None] - sig_lso
+    g_lso = np.asarray(_kernel(jnp.asarray(zeta)))
+    out = np.zeros_like(sigma_ii)
+    for il in range(nlat):
+        o = il * nso
+        blk = g_lso[:, o:o + nso, o:o + nso]          # [L, nso, nso]
+        out[il] = blk.transpose(1, 2, 0).reshape(
+            nspin, norb, nspin, norb, L).transpose(0, 2, 1, 3, 4)
+    return out
+
+
 def gloc_dos_bipartite(ebands: np.ndarray, dbands: np.ndarray,
                        h0: np.ndarray, sigma: np.ndarray, z: np.ndarray,
                        xmu: float = 0.0) -> np.ndarray:
@@ -79,17 +120,15 @@ def gloc_dos_bipartite(ebands: np.ndarray, dbands: np.ndarray,
     """
     nspin, _, norb = sigma.shape[1:4]
     out = np.zeros_like(sigma)
-    zj = jnp.asarray(z)
+    z = np.asarray(z)
+    # NumPy for the same reason as gloc_dos (small host-side integrals)
     for s in range(nspin):
         for a in range(norb):
             io = a + s * norb if ebands.shape[0] > norb else a
-            e = jnp.asarray(ebands[io])
-            d = jnp.asarray(dbands[io])
-            za = zj + xmu - h0[io] - jnp.asarray(sigma[0, s, s, a, a])
-            zb = zj + xmu - h0[io] - jnp.asarray(sigma[1, s, s, a, a])
+            e, d = ebands[io], dbands[io]
+            za = z + xmu - h0[io] - sigma[0, s, s, a, a]
+            zb = z + xmu - h0[io] - sigma[1, s, s, a, a]
             den = za[:, None] * zb[:, None] - (e ** 2)[None, :]   # [L, Le]
-            out[0, s, s, a, a] = np.asarray(
-                (d[None, :] * zb[:, None] / den).sum(-1))
-            out[1, s, s, a, a] = np.asarray(
-                (d[None, :] * za[:, None] / den).sum(-1))
+            out[0, s, s, a, a] = (d[None, :] * zb[:, None] / den).sum(-1)
+            out[1, s, s, a, a] = (d[None, :] * za[:, None] / den).sum(-1)
     return out

@@ -32,6 +32,9 @@ class StateList:
     """Energy-ordered eigenstate collection (`state_list` analogue)."""
     states: List[EigenState] = field(default_factory=list)
     max_size: Optional[int] = None   # finite-T capacity (lanc_nstates_total)
+    # per-sector diagonalization log [(qn, eigenvalues, lanc_solve)] for the
+    # eigenvalues_list.ed writer (print_eigenvalues_list, ED_DIAG.f90:265-270)
+    diag_log: List = field(default_factory=list)
 
     @property
     def size(self) -> int:

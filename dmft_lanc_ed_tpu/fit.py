@@ -19,7 +19,8 @@ Fit granularity matches the reference dispatch (ED_FIT_CHI2.f90:88-99):
 """
 from __future__ import annotations
 
-from typing import Optional
+import os
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,11 +57,19 @@ def _target_fn(cfg: EDConfig):
 
 def chi2_fitgf(cfg: EDConfig, target: np.ndarray, bath_array: np.ndarray,
                hloc: np.ndarray, ispin: Optional[int] = None,
-               h_basis: Optional[np.ndarray] = None) -> np.ndarray:
+               h_basis: Optional[np.ndarray] = None,
+               outdir: Optional[str] = None,
+               suffix: str = "") -> np.ndarray:
     """Fit the bath to the Weiss field / hybridization (ed_chi2_fitgf).
 
     target: [nspin, nspin, norb, norb, Lmats] Weiss or Delta on the
     fermionic Matsubara grid. Returns the updated packed bath array.
+
+    When ``outdir`` is given, writes the reference's fit diagnostics:
+    ``chi2fit_results*<suffix>.ed`` (appended chi^2 | iterations per fit,
+    fitgf_normal_normal.f90:147-152) and ``fit_{weiss,delta}*<suffix>.ed``
+    (target vs fitted function, :186-205). ``suffix`` is the per-site
+    ``ed_file_suffix`` analogue (e.g. ``_ineq0001``).
     """
     wm_full = matsubara_grid(cfg)
     lfit = min(cfg.lfit, target.shape[-1], len(wm_full))
@@ -74,6 +83,8 @@ def chi2_fitgf(cfg: EDConfig, target: np.ndarray, bath_array: np.ndarray,
     fn = _target_fn(cfg)
     hloc_j = jnp.asarray(hloc)
     h_basis_j = jnp.asarray(h_basis) if h_basis is not None else None
+    # (file-suffix, chi, niter) per independent minimization
+    fit_log: List[Tuple[str, float, int]] = []
 
     if cfg.bath_type == "normal":
         e = np.asarray(bath.e).copy()
@@ -93,7 +104,8 @@ def chi2_fitgf(cfg: EDConfig, target: np.ndarray, bath_array: np.ndarray,
                     return (r / wgt).sum() / lfit
 
                 theta0 = np.concatenate([e[s, a], v[s, a]])
-                theta = _minimize(cfg, chi2, theta0)
+                theta, chi, nit = _minimize(cfg, chi2, theta0)
+                fit_log.append((f"_orb{a + 1}_s{s + 1}{suffix}", chi, nit))
                 e[s, a] = theta[:cfg.nbath]
                 v[s, a] = np.abs(theta[cfg.nbath:])
         new_bath = Bath(e=jnp.asarray(e), v=jnp.asarray(v))
@@ -119,7 +131,8 @@ def chi2_fitgf(cfg: EDConfig, target: np.ndarray, bath_array: np.ndarray,
                 return (r / wgt[None, None, :]).sum() / lfit
 
             theta0 = np.concatenate([e[s, 0], v[s].reshape(-1)])
-            theta = _minimize(cfg, chi2, theta0)
+            theta, chi, nit = _minimize(cfg, chi2, theta0)
+            fit_log.append((f"_ALLorb_s{s + 1}{suffix}", chi, nit))
             e[s, 0] = theta[:nb]
             v[s] = np.abs(theta[nb:].reshape(no, nb))
         new_bath = Bath(e=jnp.asarray(e), v=jnp.asarray(v))
@@ -140,32 +153,106 @@ def chi2_fitgf(cfg: EDConfig, target: np.ndarray, bath_array: np.ndarray,
             return (r / wgt).sum() / lfit
 
         theta0 = np.concatenate([v0.reshape(-1), lam0.reshape(-1)])
-        theta = _minimize(cfg, chi2, theta0)
+        theta, chi, nit = _minimize(cfg, chi2, theta0)
+        fit_log.append((suffix, chi, nit))
         v_r = np.abs(theta[:nb * cfg.nspin].reshape(nb, cfg.nspin))
         lam = theta[nb * cfg.nspin:].reshape(nb, nsym)
         new_bath = Bath(lam=jnp.asarray(lam), v_rep=jnp.asarray(v_r))
 
-    if ispin is not None and cfg.nspin == 2 and cfg.bath_type != "replica":
-        # keep the un-fitted spin from the input bath
-        pass
+    if outdir is not None:
+        for file_sfx, chi, nit in fit_log:
+            _write_chi2_results(outdir, file_sfx, chi, nit)
+        fgand = np.asarray(fn(new_bath, hloc_j, z, h_basis_j))
+        _write_fit_functions(cfg, outdir, suffix, wm,
+                             np.asarray(target[..., :lfit]), fgand, spins)
     return pack_bath(cfg, new_bath)
 
 
-def _minimize(cfg: EDConfig, chi2_fn, theta0: np.ndarray) -> np.ndarray:
+def _write_fit_functions(cfg: EDConfig, outdir: str, suffix: str,
+                         wm: np.ndarray, fg: np.ndarray, fgand: np.ndarray,
+                         spins) -> None:
+    """Per-channel fit_{weiss,delta} files, matching the reference's
+    per-bath-type suffix conventions (fitgf_normal_normal.f90:186-205,
+    fitgf_hybrid_normal.f90:197-217, fitgf_replica.f90:182-207)."""
+    if cfg.bath_type == "normal":
+        for s in spins:
+            for a in range(cfg.norb):
+                _write_fit_function(cfg, outdir, f"_orb{a + 1}_s{s + 1}{suffix}",
+                                    wm, fg[s, s, a, a], fgand[s, s, a, a])
+    elif cfg.bath_type == "hybrid":
+        for s in spins:
+            for a in range(cfg.norb):
+                for b in range(a, cfg.norb):
+                    _write_fit_function(cfg, outdir,
+                                        f"_l{a + 1}_m{b + 1}{suffix}",
+                                        wm, fg[s, s, a, b], fgand[s, s, a, b])
+    else:  # replica: every (spin-diagonal) component
+        for s in range(cfg.nspin):
+            for a in range(cfg.norb):
+                for b in range(cfg.norb):
+                    _write_fit_function(
+                        cfg, outdir,
+                        f"_l{a + 1}_m{b + 1}_s{s + 1}_r{s + 1}{suffix}",
+                        wm, fg[s, s, a, b], fgand[s, s, a, b])
+
+
+class _StopWatcher:
+    """Reference fmin_cg stopping conditions (SF_OPTIMIZE istop semantics,
+    surfaced as CG_STOP, ED_INPUT_VARS.f90:196):
+
+        C1 = |F_{n-1} - F_n|   < ftol * (1 + F_n)
+        C2 = ||x_{n-1} - x_n|| < ftol * (1 + ||x_n||)
+
+    cg_stop = 0 -> C1.AND.C2, 1 -> C1, 2 -> C2. Implemented as a scipy
+    callback that terminates the optimizer (StopIteration); this also fixes
+    cg_method=1, where the reference ftol is a *function-value* tolerance,
+    not scipy CG's gradient-norm gtol."""
+
+    def __init__(self, fun_value, ftol: float, istop: int):
+        self.fv = fun_value
+        self.ftol = ftol
+        self.istop = istop
+        self.prev_x: Optional[np.ndarray] = None
+        self.prev_f: Optional[float] = None
+        self.nit = 0
+
+    def __call__(self, xk, *_):
+        xk = np.asarray(xk, dtype=np.float64)
+        fk = self.fv(xk)
+        self.nit += 1
+        stop = False
+        if self.prev_x is not None:
+            c1 = abs(self.prev_f - fk) < self.ftol * (1.0 + abs(fk))
+            c2 = (np.linalg.norm(self.prev_x - xk)
+                  < self.ftol * (1.0 + np.linalg.norm(xk)))
+            stop = {0: c1 and c2, 1: c1, 2: c2}.get(self.istop, c1 and c2)
+        self.prev_x, self.prev_f = xk, fk
+        if stop:
+            raise StopIteration
+
+
+def _minimize(cfg: EDConfig, chi2_fn,
+              theta0: np.ndarray) -> Tuple[np.ndarray, float, int]:
     """Quasi-Newton descent on the chi2 (replaces fmin_cg/fmin_cgminimize).
 
-    Reference dials honored (ED_FIT_CHI2.f90:84-141):
+    Reference dials honored (ED_FIT_CHI2.f90:84-141, ED_INPUT_VARS.f90:196-202):
     - cg_method: 0 -> L-BFGS-B (the default, supersedes the NR CG),
-                 1 -> scipy nonlinear CG (the fmin_cgminimize analogue)
+                 1 -> scipy nonlinear CG (the fmin_cgminimize analogue;
+                 cg_minimize_ver picks Krauth/Lichtenstein variants in the
+                 reference — both map onto the same scipy CG here)
     - cg_grad:   0 -> exact gradient via jax autodiff (the reference's
                  hand-derived analytic dDelta/dtheta chain rule comes for
-                 free), 1 -> numerical finite-difference gradient
+                 free), 1 -> numerical finite-difference gradient with step
+                 cg_minimize_hh (the reference's hh_par)
+    - cg_stop / cg_ftol: C1/C2 relative tolerances via :class:`_StopWatcher`
+
+    Returns (theta, chi2, niter).
     """
     numeric = cfg.cg_grad != 0
+    f = jax.jit(lambda t: chi2_fn(jnp.asarray(t)))
+    fval = lambda t: float(f(jnp.asarray(t)))
     if numeric:
-        f = jax.jit(lambda t: chi2_fn(jnp.asarray(t)))
-        fun = lambda t: float(f(jnp.asarray(t)))
-        jac = None
+        fun, jac = fval, None
     else:
         vg = jax.jit(jax.value_and_grad(
             lambda t: chi2_fn(jnp.asarray(t))))
@@ -175,16 +262,42 @@ def _minimize(cfg: EDConfig, chi2_fn, theta0: np.ndarray) -> np.ndarray:
             return float(val), np.asarray(grad, dtype=np.float64)
         jac = True
 
+    watcher = _StopWatcher(fval, cfg.cg_ftol, cfg.cg_stop)
     if cfg.cg_method == 1:
+        options = {"maxiter": cfg.cg_niter, "gtol": 1e-12}
+        if numeric:
+            options["eps"] = cfg.cg_minimize_hh
         res = _scipy_minimize(fun, theta0, jac=jac, method="CG",
-                              options={"maxiter": cfg.cg_niter,
-                                       "gtol": cfg.cg_ftol})
+                              callback=watcher, options=options)
     else:
+        options = {"maxiter": cfg.cg_niter, "ftol": cfg.cg_ftol * 1e-3,
+                   "gtol": 1e-12}
+        if numeric:
+            options["eps"] = cfg.cg_minimize_hh
         res = _scipy_minimize(fun, theta0, jac=jac, method="L-BFGS-B",
-                              options={"maxiter": cfg.cg_niter,
-                                       "ftol": cfg.cg_ftol * 1e-3,
-                                       "gtol": 1e-12})
-    return np.asarray(res.x)
+                              callback=watcher, options=options)
+    theta = np.asarray(res.x)
+    nit = int(getattr(res, "nit", watcher.nit) or watcher.nit)
+    return theta, fval(theta), nit
+
+
+def _write_chi2_results(outdir: str, suffix: str, chi: float,
+                        niter: int) -> None:
+    """chi2fit_results<suffix>.ed append record (fitgf_normal_normal.f90:147)."""
+    with open(os.path.join(outdir, f"chi2fit_results{suffix}.ed"), "a") as fh:
+        fh.write(f"{chi:18.9E} {niter:5d}\n")
+
+
+def _write_fit_function(cfg: EDConfig, outdir: str, suffix: str,
+                        wm: np.ndarray, fg_ch: np.ndarray,
+                        fgand_ch: np.ndarray) -> None:
+    """fit_{weiss,delta}<suffix>.ed: 5F24.15 columns
+    (x, Im fg, Im fgand, Re fg, Re fgand) — fitgf_normal_normal.f90:186-205."""
+    name = "fit_weiss" if cfg.cg_scheme == "weiss" else "fit_delta"
+    with open(os.path.join(outdir, f"{name}{suffix}.ed"), "w") as fh:
+        for x, g, ga in zip(wm, fg_ch, fgand_ch):
+            fh.write(f"{x:24.15F}{g.imag:24.15F}{ga.imag:24.15F}"
+                     f"{g.real:24.15F}{ga.real:24.15F}\n")
 
 
 def replica_chi2_fitgf(cfg: EDConfig, target: np.ndarray,

@@ -318,6 +318,45 @@ def write_state_list(cfg: EDConfig, state_list: StateList, outdir: str = ".",
             fh.write(" ".join(str(n) for n in (*sqn[0], *sqn[1])) + "\n")
 
 
+def write_eigenvalues_list(cfg: EDConfig, state_list: StateList,
+                           table, outdir: str = ".",
+                           suffix: str = "") -> None:
+    """eigenvalues_list.ed: per-sector header + eigenvalues, appended in
+    scan order (print_eigenvalues_list, ED_DIAG.f90:265-270,641-663).
+    Header marker: '#' Lanczos, '#X' dense (the reference's lanc/allt flags)."""
+    qns = table.all_qns()
+    index = {qn: i + 1 for i, qn in enumerate(qns)}
+    path = os.path.join(outdir, f"eigenvalues_list{suffix}.ed")
+    with open(path, "a") as fh:
+        for sqn, evals, lanc in state_list.diag_log:
+            tag = " # Sector" if lanc else " #X Sector"
+            fh.write(f"{tag}        Indices\n")
+            inds = " ".join(f"{n:5d}" for n in (*sqn[0], *sqn[1]))
+            fh.write(f"{index.get(sqn, 0):9d} {inds}\n")
+            for e in evals:
+                fh.write(f"   {e:.16g}\n")
+            fh.write("\n")
+
+
+def write_histogram_states(cfg: EDConfig, state_list: StateList, table,
+                           outdir: str = ".", suffix: str = "") -> None:
+    """histogram_states.ed: finite-T histogram of which sectors contribute
+    to the spectrum (ED_DIAG.f90:530-546; SF_STAT histogram_print format:
+    'bin_lower bin_upper count' per sector bin)."""
+    qns = table.all_qns()
+    index = {qn: i + 1 for i, qn in enumerate(qns)}
+    counts = np.zeros(len(qns))
+    for st in state_list.states:
+        i = index.get(st.qn)
+        if i is not None:
+            counts[i - 1] += 1.0
+    path = os.path.join(outdir, f"histogram_states{suffix}.ed")
+    with open(path, "a") as fh:
+        for i, c in enumerate(counts):
+            fh.write(f"{i + 1:.6f} {i + 2:.6f} {c:.6f}\n")
+        fh.write("\n")
+
+
 def write_all(cfg: EDConfig, res: SolveResult, bath_array: np.ndarray,
               outdir: str = ".", suffix: str = "") -> None:
     """Everything the reference writes after ed_solve (flag-gated)."""
@@ -332,6 +371,12 @@ def write_all(cfg: EDConfig, res: SolveResult, bath_array: np.ndarray,
     write_energy(cfg, res.observables, outdir, suffix)
     write_occupation_prob(cfg, res.observables, outdir, suffix)
     write_state_list(cfg, res.state_list, outdir, suffix)
+    from .sectors import SectorTable
+    table = SectorTable(cfg)
+    if res.state_list.diag_log:
+        write_eigenvalues_list(cfg, res.state_list, table, outdir, suffix)
+    if cfg.finite_t:
+        write_histogram_states(cfg, res.state_list, table, outdir, suffix)
     save_bath(cfg, bath_array, outdir, suffix, used=True)
     save_bath(cfg, bath_array, outdir, suffix, used=False)
     if res.chi_spin is not None:

@@ -66,16 +66,24 @@ class LatticeSolver:
     def __init__(self, cfg: EDConfig, nlat: int,
                  hloc: Optional[np.ndarray] = None,
                  uloc_ii: Optional[np.ndarray] = None,
+                 ust_ii: Optional[np.ndarray] = None,
+                 jh_ii: Optional[np.ndarray] = None,
                  h_basis=None, lambda_imp=None):
-        """hloc: [nlat, nspin, nspin, norb, norb]; uloc_ii: [nlat, norb]
-        per-site interaction override (Uloc_ii, ED_MAIN.f90:609-611)."""
+        """hloc: [nlat, nspin, nspin, norb, norb]; per-site interaction
+        overrides (Uloc_ii [nlat, norb], Ust_ii [nlat], Jh_ii [nlat] —
+        ED_MAIN.f90:377-379,458-460)."""
         self.cfg = cfg
         self.nlat = nlat
         self.solvers: List[EDSolver] = []
         for i in range(nlat):
-            cfg_i = cfg
+            over = {}
             if uloc_ii is not None:
-                cfg_i = cfg.replace(uloc=tuple(uloc_ii[i]))
+                over["uloc"] = tuple(uloc_ii[i])
+            if ust_ii is not None:
+                over["ust"] = float(ust_ii[i])
+            if jh_ii is not None:
+                over["jh"] = float(jh_ii[i])
+            cfg_i = cfg.replace(**over) if over else cfg
             hloc_i = None if hloc is None else hloc[i]
             self.solvers.append(
                 EDSolver(cfg_i, hloc_i, h_basis=h_basis,
@@ -106,10 +114,17 @@ class LatticeSolver:
                 results.append(solver.solve(baths[i]))
         return LatticeResult(results)
 
-    def fit_baths(self, weiss: np.ndarray, baths: np.ndarray) -> np.ndarray:
-        """Per-site chi2 fit; weiss: [nlat, nspin, nspin, norb, norb, L]."""
+    def fit_baths(self, weiss: np.ndarray, baths: np.ndarray,
+                  ispin: Optional[int] = None,
+                  outdir: Optional[str] = None) -> np.ndarray:
+        """Per-site chi2 fit; weiss: [nlat, nspin, nspin, norb, norb, L].
+
+        With ``outdir``, fit diagnostics carry the reference's per-site
+        suffix ``_ineq<NNNN>`` (ineq_site_suffix + site_indx_padding,
+        ED_MAIN.f90:455)."""
         out = np.empty_like(baths)
         for i, solver in enumerate(self.solvers):
             out[i] = chi2_fitgf(solver.cfg, weiss[i], baths[i], solver.hloc,
-                                h_basis=solver.h_basis)
+                                ispin=ispin, h_basis=solver.h_basis,
+                                outdir=outdir, suffix=f"_ineq{i + 1:04d}")
         return out

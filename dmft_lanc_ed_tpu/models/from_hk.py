@@ -27,9 +27,11 @@ from ..solver import EDSolver, matsubara_grid
 log = logging.getLogger("dmft_lanc_ed_tpu")
 
 
-def load_hk(path: str) -> np.ndarray:
+def load_hk(path: str, nk: int = 8) -> np.ndarray:
     if path.endswith(".npy"):
         hk = np.load(path)
+    elif path.endswith("hr.dat") or path.endswith("_hr.dat"):
+        hk = hk_from_w90_hr(path, nk=nk)
     else:
         raise ValueError(f"unsupported H(k) file format: {path}")
     if hk.ndim != 3 or hk.shape[1] != hk.shape[2]:
@@ -39,9 +41,61 @@ def load_hk(path: str) -> np.ndarray:
     return hk.astype(np.complex128)
 
 
+def read_w90_hr(path: str):
+    """Parse a wannier90 ``*_hr.dat`` file.
+
+    Returns (rvecs [Nr, 3] int, hr [Nr, Nw, Nw] complex, ndeg [Nr]).
+    Format (the reference's hk_from_w90_hr reader, edn_PCO.f90:653-793):
+    comment line; num_wann; nrpts; ceil(nrpts/15) degeneracy lines; then
+    one row per (R, i, j): R1 R2 R3 i j Re Im.
+    """
+    with open(path) as fh:
+        lines = fh.read().split("\n")
+    num_wann = int(lines[1].split()[0])
+    nrpts = int(lines[2].split()[0])
+    ndeg: list = []
+    row = 3
+    while len(ndeg) < nrpts:
+        ndeg.extend(int(x) for x in lines[row].split())
+        row += 1
+    rvecs = np.zeros((nrpts, 3), dtype=np.int64)
+    hr = np.zeros((nrpts, num_wann, num_wann), dtype=np.complex128)
+    ir = -1
+    last_r = None
+    for ln in lines[row:]:
+        parts = ln.split()
+        if len(parts) < 7:
+            continue
+        r = (int(parts[0]), int(parts[1]), int(parts[2]))
+        if r != last_r:
+            ir += 1
+            last_r = r
+            rvecs[ir] = r
+        i, j = int(parts[3]) - 1, int(parts[4]) - 1
+        hr[ir, i, j] = float(parts[5]) + 1j * float(parts[6])
+    assert ir + 1 == nrpts, f"hr file: found {ir + 1} R-vectors, expected {nrpts}"
+    return rvecs, hr, np.asarray(ndeg, dtype=np.float64)
+
+
+def hk_from_w90_hr(path: str, nk: int = 8) -> np.ndarray:
+    """Fourier-transform a wannier90 hr file onto an nk^3 Monkhorst grid:
+    H(k) = sum_R e^{i k.R} H(R) / ndeg_R  (hk_from_w90_hr, edn_PCO.f90:653).
+    """
+    rvecs, hr, ndeg = read_w90_hr(path)
+    fr = np.arange(nk) / nk
+    kx, ky, kz = np.meshgrid(fr, fr, fr, indexing="ij")
+    kfrac = 2.0 * np.pi * np.stack([kx.ravel(), ky.ravel(), kz.ravel()], 1)
+    phase = np.exp(1j * (kfrac @ rvecs.T))            # [Nk, Nr]
+    return np.einsum("kr,rij->kij", phase / ndeg[None, :], hr)
+
+
 def run_dmft(cfg: EDConfig, hk: np.ndarray, wmixing: float = 0.5,
-             bath0: Optional[np.ndarray] = None,
+             bath0: Optional[np.ndarray] = None, spinsym: bool = False,
              verbose: bool = True) -> DMFTResult:
+    """spinsym: fit spin-up only, then copy up->down (the reference
+    drivers' paramagnetic-constraint pattern, edn_triang_pxpy.f90:135-139 —
+    also suppresses the spontaneous polarization of degenerate T=0
+    multiplets under tiny fit asymmetries)."""
     nso = cfg.nspin * cfg.norb
     assert hk.shape[1] == nso, (
         f"H(k) dimension {hk.shape[1]} != nspin*norb = {nso}")
@@ -64,7 +118,14 @@ def run_dmft(cfg: EDConfig, hk: np.ndarray, wmixing: float = 0.5,
         gloc = gloc_hk(hk, res.sigma_mats, z, xmu=cfg.xmu)
         weiss = self_consistency(gloc, res.sigma_mats, hloc, z,
                                  sctype=cfg.cg_scheme, xmu=cfg.xmu)
-        bath = mixer(chi2_fitgf(cfg, weiss, bath, hloc, h_basis=h_basis))
+        if spinsym and cfg.nspin == 2 and cfg.bath_type != "replica":
+            from ..bath import spin_symmetrize_bath
+            fitted = chi2_fitgf(cfg, weiss, bath, hloc, ispin=0,
+                                h_basis=h_basis)
+            bath = mixer(spin_symmetrize_bath(cfg, fitted))
+        else:
+            bath = mixer(chi2_fitgf(cfg, weiss, bath, hloc,
+                                    h_basis=h_basis))
         gtest = np.mean([weiss[0, 0, a, a] for a in range(cfg.norb)], axis=0)
         converged = conv(gtest)
         history.append(dict(iloop=iloop, error=conv.error,

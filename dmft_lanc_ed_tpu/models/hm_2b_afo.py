@@ -68,9 +68,12 @@ def run_dmft(cfg: EDConfig, wband=(1.0, 0.5), delta: float = 0.0,
     lat = LatticeSolver(cfg, nineq, hloc=hloc)
     if bath0 is None:
         baths = lat.init_baths()
-        for i in range(nineq):
-            baths[i] = break_symmetry_bath(cfg, baths[i], cfg.sb_field,
-                                           sign=(-1.0) ** i)
+        if not spinsym:
+            # spinsym=T zeroes sb_field in the reference driver so the
+            # paramagnetic run starts unbroken (reference :89)
+            for i in range(nineq):
+                baths[i] = break_symmetry_bath(cfg, baths[i], cfg.sb_field,
+                                               sign=(-1.0) ** i)
     else:
         baths = np.asarray(bath0).copy()
     wm = matsubara_grid(cfg)
@@ -94,9 +97,14 @@ def run_dmft(cfg: EDConfig, wband=(1.0, 0.5), delta: float = 0.0,
             self_consistency(gloc[i], smats[i], hloc_site, z,
                              sctype=cfg.cg_scheme, xmu=cfg.xmu)
             for i in range(nineq)])
-        baths = mixer(lat.fit_baths(weiss, baths))
         if spinsym:
-            baths = np.stack([spin_symmetrize_bath(cfg, b) for b in baths])
+            # fit only spin-up, then copy up->down (reference :224): saves
+            # the spin-down fit that spin_symmetrize_bath would discard
+            fitted = lat.fit_baths(weiss, baths, ispin=0)
+            baths = mixer(np.stack(
+                [spin_symmetrize_bath(cfg, b) for b in fitted]))
+        else:
+            baths = mixer(lat.fit_baths(weiss, baths))
         gtest = np.mean([weiss[:, 0, 0, a, a] for a in range(cfg.norb)],
                         axis=0).reshape(-1)
         converged = conv(gtest)

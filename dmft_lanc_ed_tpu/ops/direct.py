@@ -88,6 +88,19 @@ class DirectSectorOp:
     def dim_ph(self) -> int:
         return 1 if self.ph_n is None else self.ph_n.shape[0]
 
+    @property
+    def nnz(self) -> int:
+        """Entries applied per matvec (the matrix-free kernel touches every
+        row once per term, masks included): observability analogue of the
+        stored backend's nonzero count (kernel_stats nnz/s)."""
+        dim = self.dim_ph * self.dim_dw * self.dim_up
+        terms = 1 + self.up_c.shape[0] + self.dw_c.shape[0]
+        if self.nd_a is not None:
+            terms += self.nd_a.shape[0]
+        if self.ph_n is not None:
+            terms += 2          # phonon ladder + e-ph factorized term
+        return dim * terms
+
 
 def _collect_terms(cfg: EDConfig, spin: int, hloc, diag_hybr, hbath
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -127,8 +140,16 @@ def _collect_terms(cfg: EDConfig, spin: int, hloc, diag_hybr, hbath
 def build_direct_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray, bath: Bath,
                     h_basis: Optional[np.ndarray] = None,
                     dtype=None) -> DirectSectorOp:
-    """Assemble the matrix-free operator (directMatVec preparation)."""
-    assert cfg.ed_total_ud, "direct backend: total_ud sectors only"
+    """Assemble the matrix-free operator (directMatVec preparation).
+
+    Works for both QN schemes: in orbital-resolved mode (ed_total_ud=F,
+    reference *_orbs code paths, ED_HAMILTONIAN_DIRECT_HxV.f90:96-178 +
+    direct/Orbs/*.f90) the sector basis is already materialized as sorted
+    composite full-Ns masks (sectors.SectorTable._composite_states), so the
+    same bit-op connectivity + JW signs apply unchanged; channel-preserving
+    hops (hybridization, intra-channel replica) are exactly the terms that
+    survive the sector constraint, and channel-violating ones are rejected
+    at setup (hloc off-diagonal validation)."""
     dtype = dtype or jnp.dtype(cfg.ed_dtype)
     bath_diag, diag_hybr, hbath = bath_levels(cfg, bath, h_basis)
     hloc = np.asarray(hloc, dtype=np.float64)

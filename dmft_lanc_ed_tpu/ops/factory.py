@@ -37,7 +37,9 @@ log = logging.getLogger("dmft_lanc_ed_tpu")
 
 
 def direct_supported(cfg: EDConfig) -> bool:
-    return cfg.ed_total_ud
+    """Both QN schemes are supported: orbital-resolved sectors use composite
+    full-Ns masks (sectors.py), so the bit-op connectivity is identical."""
+    return True
 
 
 _DENSE_APPLY = {"f64": matvec_dense_flat,

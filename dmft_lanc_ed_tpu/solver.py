@@ -160,15 +160,22 @@ class EDSolver:
         chi_spin = chi_dens = gf_ph = None
         if cfg.chispin_flag or cfg.chidens_flag or cfg.dim_ph > 1:
             from . import chi as chi_mod
+            full = cfg.ed_diag_type == "full"
             if cfg.chispin_flag:
-                chi_spin = chi_mod.build_chi_spin(cfg, self.table, hcache,
-                                                  state_list)
+                chi_spin = (chi_mod.full_build_chi_spin(cfg, self.table,
+                                                        state_list) if full
+                            else chi_mod.build_chi_spin(cfg, self.table,
+                                                        hcache, state_list))
             if cfg.chidens_flag:
-                chi_dens = chi_mod.build_chi_dens(cfg, self.table, hcache,
-                                                  state_list)
+                chi_dens = (chi_mod.full_build_chi_dens(cfg, self.table,
+                                                        state_list) if full
+                            else chi_mod.build_chi_dens(cfg, self.table,
+                                                        hcache, state_list))
             if cfg.dim_ph > 1:
-                gf_ph = chi_mod.build_gf_phonon(cfg, self.table, hcache,
-                                                state_list)
+                gf_ph = (chi_mod.full_build_gf_phonon(cfg, self.table,
+                                                      state_list) if full
+                         else chi_mod.build_gf_phonon(cfg, self.table,
+                                                      hcache, state_list))
 
         timings["total"] = time.perf_counter() - t_all
         kernel_stats.seconds = timings["diag"] + timings["gf"]

@@ -130,3 +130,102 @@ def test_fit_cg_grad_and_method_variants():
     for name in ("numgrad", "cgmeth"):
         np.testing.assert_allclose(fits[name], fits["default"],
                                    atol=5e-3, rtol=0)
+
+
+def test_fit_diagnostics_files_and_stop_dials(tmp_path):
+    """chi2fit_results*/fit_delta* files in the reference format, and the
+    cg_stop/cg_ftol C1/C2 stopping conditions change iteration counts
+    (fitgf_normal_normal.f90:147-205, ED_INPUT_VARS.f90:196)."""
+    import numpy as np
+    from dmft_lanc_ed_tpu.bath import init_bath, pack_bath, unpack_bath
+    from dmft_lanc_ed_tpu.bath_functions import delta_bath
+    from dmft_lanc_ed_tpu.config import EDConfig
+    from dmft_lanc_ed_tpu.fit import chi2_fitgf
+    from dmft_lanc_ed_tpu.solver import matsubara_grid
+
+    cfg = EDConfig(norb=1, nbath=3, uloc=(0.0,), beta=20.0, lmats=128,
+                   lfit=64, cg_scheme="delta")
+    rng = np.random.default_rng(3)
+    start = pack_bath(cfg, init_bath(cfg))
+    target_arr = start + 0.05 * rng.normal(size=start.shape)
+    wm = matsubara_grid(cfg)[:cfg.lfit]
+    tgt = np.asarray(delta_bath(cfg, unpack_bath(cfg, target_arr), 1j * wm))
+    hloc = np.zeros((1, 1, 1, 1))
+
+    out = str(tmp_path)
+    chi2_fitgf(cfg, tgt, start.copy(), hloc, outdir=out)
+    res_file = tmp_path / "chi2fit_results_orb1_s1.ed"
+    fit_file = tmp_path / "fit_delta_orb1_s1.ed"
+    assert res_file.exists() and fit_file.exists()
+    chi, nit = res_file.read_text().split()
+    assert float(chi) < 1e-4 and int(nit) > 3
+    cols = np.loadtxt(fit_file)          # [Lfit, 5]: x, Im g, Im gand, ...
+    assert cols.shape == (cfg.lfit, 5)
+    np.testing.assert_allclose(cols[:, 0], wm, atol=1e-12)
+    np.testing.assert_allclose(cols[:, 1], tgt[0, 0, 0, 0].imag, atol=1e-10)
+    # fitted function close to target everywhere
+    np.testing.assert_allclose(cols[:, 2], cols[:, 1], atol=5e-3)
+
+    # appending behavior
+    chi2_fitgf(cfg, tgt, start.copy(), hloc, outdir=out)
+    assert len(res_file.read_text().splitlines()) == 2
+
+    # loose ftol + cg_stop=1 (C1 only) stops much earlier
+    chi2_fitgf(cfg.replace(cg_ftol=1e-1, cg_stop=1), tgt, start.copy(),
+               hloc, outdir=out)
+    nit_loose = int(res_file.read_text().splitlines()[-1].split()[1])
+    assert nit_loose < int(nit)
+
+    # cg_minimize_hh sets the numeric-gradient step: an absurdly large step
+    # must degrade the fit vs the default
+    b_good = chi2_fitgf(cfg.replace(cg_grad=1), tgt, start.copy(), hloc)
+    b_bad = chi2_fitgf(cfg.replace(cg_grad=1, cg_minimize_hh=0.5), tgt,
+                       start.copy(), hloc)
+    d_good = np.asarray(delta_bath(cfg, unpack_bath(cfg, b_good), 1j * wm))
+    d_bad = np.asarray(delta_bath(cfg, unpack_bath(cfg, b_bad), 1j * wm))
+    assert np.abs(d_good - tgt).max() < np.abs(d_bad - tgt).max()
+
+
+def test_batched_sector_scan_matches_serial():
+    """ed_batch_sectors: vmapped shape-bucket solves == serial scan
+    (Egs, GF, observables; VERDICT round-2 item 3)."""
+    import numpy as np
+    from dmft_lanc_ed_tpu.config import EDConfig
+    from dmft_lanc_ed_tpu.solver import EDSolver
+
+    base = dict(norb=1, nbath=5, uloc=(1.8,), beta=100.0, lmats=32,
+                lreal=9, lanc_dim_threshold=20)
+    s_b = EDSolver(EDConfig(ed_batch_sectors=True, **base),
+                   np.zeros((1, 1, 1, 1)))
+    bath = s_b.init_bath()
+    res_b = s_b.solve(bath)
+    res_s = EDSolver(EDConfig(ed_batch_sectors=False, **base),
+                     np.zeros((1, 1, 1, 1))).solve(bath)
+    assert abs(res_b.observables.egs - res_s.observables.egs) < 1e-10
+    np.testing.assert_allclose(res_b.g_mats, res_s.g_mats, atol=1e-10)
+    np.testing.assert_allclose(res_b.observables.dens,
+                               res_s.observables.dens, atol=1e-12)
+    np.testing.assert_allclose(res_b.observables.docc,
+                               res_s.observables.docc, atol=1e-12)
+
+
+def test_batched_scan_finite_t_and_phonons():
+    """Batched buckets at finite T (per-sector neigen) and phonon blocks."""
+    import numpy as np
+    from dmft_lanc_ed_tpu.config import EDConfig
+    from dmft_lanc_ed_tpu.solver import EDSolver
+
+    base = dict(norb=1, nbath=3, uloc=(1.2,), nph=2, g_ph=(0.3,),
+                w0_ph=0.8, beta=8.0, lmats=16, lreal=9,
+                ed_finite_temp=True, lanc_nstates_total=30,
+                lanc_nstates_sector=4, lanc_dim_threshold=10)
+    s_b = EDSolver(EDConfig(ed_batch_sectors=True, **base),
+                   np.zeros((1, 1, 1, 1)))
+    bath = s_b.init_bath()
+    res_b = s_b.solve(bath)
+    res_s = EDSolver(EDConfig(ed_batch_sectors=False, **base),
+                     np.zeros((1, 1, 1, 1))).solve(bath)
+    assert abs(res_b.observables.egs - res_s.observables.egs) < 1e-9
+    np.testing.assert_allclose(res_b.observables.dens,
+                               res_s.observables.dens, atol=1e-8)
+    np.testing.assert_allclose(res_b.g_mats, res_s.g_mats, atol=1e-7)
