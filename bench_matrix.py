@@ -1,0 +1,169 @@
+"""End-to-end DMFT benchmark matrix (VERDICT round-2 item 6).
+
+Runs one warm DMFT iteration per BASELINE.json config class and records
+wall-clock + phase breakdown (diag / gf / fit / observables), so later
+rounds can measure regressions. Results stream into BENCH_MATRIX.json
+incrementally (the TPU tunnel can drop mid-run; partial results survive).
+
+Configs (BASELINE.md "configs" table):
+  bethe4      1-orbital Bethe, nbath=4   (~4k-state sectors)
+  bethe9      1-orbital Bethe, nbath=9   (~63k-state sectors, 121 sectors)
+  hund2b      2-band Hubbard + Hund, square lattice, normal bath
+  bhz_replica BHZ 2D topological, replica bath
+
+Usage: python bench_matrix.py [config ...]   (default: all)
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "BENCH_MATRIX.json")
+
+
+def record(name, entry):
+    data = {}
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            data = json.load(fh)
+    data[name] = entry
+    with open(OUT, "w") as fh:
+        json.dump(data, fh, indent=1)
+    log(f"[{name}] recorded: {entry}")
+
+
+def _phases(res):
+    t = res.timings
+    return {k: round(t[k], 4) for k in
+            ("diag", "gf", "observables", "sigma", "total") if k in t}
+
+
+def _one_iteration(cfg, hloc, solver_cls, fit_fn, weiss_of):
+    """Two solve+fit iterations; returns timings of the warm second one."""
+    from dmft_lanc_ed_tpu.solver import matsubara_grid
+    solver = solver_cls(cfg, hloc)
+    bath = solver.init_bath()
+    wm = matsubara_grid(cfg)
+    out = {}
+    for it in ("cold", "warm"):
+        t0 = time.perf_counter()
+        res = solver.solve(bath)
+        t_solve = time.perf_counter() - t0
+        weiss = weiss_of(res, 1j * wm)
+        t1 = time.perf_counter()
+        bath = fit_fn(cfg, weiss, bath, hloc)
+        t_fit = time.perf_counter() - t1
+        out[it] = dict(solve_s=round(t_solve, 3), fit_s=round(t_fit, 3),
+                       loop_s=round(time.perf_counter() - t0, 3),
+                       phases=_phases(res))
+    out["egs"] = float(res.observables.egs)
+    out["dens"] = [float(x) for x in res.observables.dens]
+    return out
+
+
+def bench_bethe(nbath):
+    from dmft_lanc_ed_tpu.config import EDConfig
+    from dmft_lanc_ed_tpu.dmft import bethe_bands, gloc_dos, self_consistency
+    from dmft_lanc_ed_tpu.fit import chi2_fitgf
+    from dmft_lanc_ed_tpu.solver import EDSolver
+
+    cfg = EDConfig(norb=1, nbath=nbath, uloc=(2.0,), beta=100.0,
+                   lmats=1024, lfit=256, lreal=64, cg_scheme="weiss")
+    ebands, dbands, h0 = bethe_bands(1, 1.0)
+    hloc = np.zeros((1, 1, 1, 1))
+
+    def weiss_of(res, z):
+        gloc = gloc_dos(ebands, dbands, h0, res.sigma_mats, z)
+        return self_consistency(gloc, res.sigma_mats, hloc, z,
+                                sctype=cfg.cg_scheme)
+    return _one_iteration(cfg, hloc, EDSolver, chi2_fitgf, weiss_of)
+
+
+def bench_hund2b():
+    from dmft_lanc_ed_tpu.config import EDConfig
+    from dmft_lanc_ed_tpu.dmft import self_consistency
+    from dmft_lanc_ed_tpu.dmft.gloc import gloc_hk
+    from dmft_lanc_ed_tpu.dmft.hk import hk_square, hloc_from_hk
+    from dmft_lanc_ed_tpu.fit import chi2_fitgf
+    from dmft_lanc_ed_tpu.solver import EDSolver
+
+    cfg = EDConfig(norb=2, nspin=1, nbath=2, uloc=(2.0, 2.0), ust=1.2,
+                   jh=0.4, jx=0.4, jp=0.4, beta=100.0, lmats=1024,
+                   lfit=256, lreal=64, cg_scheme="weiss")
+    hk = hk_square(16, 2, t=0.25)
+    hloc = hloc_from_hk(hk, 1, 2)
+
+    def weiss_of(res, z):
+        gloc = gloc_hk(hk, res.sigma_mats, z)
+        return self_consistency(gloc, res.sigma_mats, hloc, z,
+                                sctype=cfg.cg_scheme)
+    return _one_iteration(cfg, hloc, EDSolver, chi2_fitgf, weiss_of)
+
+
+def bench_bhz_replica():
+    from dmft_lanc_ed_tpu.config import EDConfig
+    from dmft_lanc_ed_tpu.dmft import self_consistency
+    from dmft_lanc_ed_tpu.dmft.gloc import gloc_hk
+    from dmft_lanc_ed_tpu.dmft.hk import hk_bhz_2d, hloc_from_hk
+    from dmft_lanc_ed_tpu.fit import chi2_fitgf
+    from dmft_lanc_ed_tpu.hloc import decompose_hloc
+    from dmft_lanc_ed_tpu.solver import EDSolver
+
+    cfg = EDConfig(norb=2, nspin=2, nbath=4, uloc=(2.0, 2.0), ust=1.0,
+                   beta=100.0, lmats=1024, lfit=256, lreal=64,
+                   bath_type="replica", cg_scheme="weiss",
+                   lanc_dim_threshold=2048)
+    hk = hk_bhz_2d(16, m0=1.0, lam=0.3, t=0.5)
+    hloc = hloc_from_hk(hk, 2, 2)
+    h_basis, lam_imp = decompose_hloc(cfg, hloc)
+
+    class _Solver:
+        def __init__(self, cfg, hloc):
+            from dmft_lanc_ed_tpu.solver import EDSolver
+            self._s = EDSolver(cfg, hloc, h_basis=h_basis,
+                               lambda_imp=lam_imp)
+            self.init_bath = self._s.init_bath
+            self.solve = self._s.solve
+
+    def fit_fn(cfg, weiss, bath, hloc):
+        return chi2_fitgf(cfg, weiss, bath, hloc, h_basis=h_basis)
+
+    def weiss_of(res, z):
+        gloc = gloc_hk(hk, res.sigma_mats, z)
+        return self_consistency(gloc, res.sigma_mats, hloc, z,
+                                sctype=cfg.cg_scheme)
+    return _one_iteration(cfg, hloc, _Solver, fit_fn, weiss_of)
+
+
+BENCHES = {
+    "bethe4": lambda: bench_bethe(4),
+    "bethe9": lambda: bench_bethe(9),
+    "hund2b": bench_hund2b,
+    "bhz_replica": bench_bhz_replica,
+}
+
+
+def main():
+    import jax
+    names = sys.argv[1:] or list(BENCHES)
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    for name in names:
+        log(f"=== {name} ===")
+        t0 = time.perf_counter()
+        entry = BENCHES[name]()
+        entry["platform"] = dev.platform
+        entry["bench_wall_s"] = round(time.perf_counter() - t0, 1)
+        record(name, entry)
+
+
+if __name__ == "__main__":
+    main()

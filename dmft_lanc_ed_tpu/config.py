@@ -133,7 +133,7 @@ class EDConfig:
     #   mixed — f32 MXU matmuls at HIGHEST (~1e-7 matvec error) + automatic
     #           f64 Rayleigh-Ritz polish of eigenpairs
     #   fast  — f32 MXU matmuls at HIGH (3-pass bf16, ~2x mixed throughput)
-    ed_precision: str = "f64"
+    ed_precision: str = "auto"
     mesh_shape: Tuple[int, ...] = ()  # device mesh for sharded sector matvec
     # sectors with dim_dw >= ed_shard_min_dimdw run the dw-sharded matvec
     # when a mesh is configured (below it, sharding overhead dominates)
@@ -162,7 +162,7 @@ class EDConfig:
             raise ValueError(f"unknown ed_diag_type {self.ed_diag_type!r}")
         if self.ed_backend not in ("auto", "ell", "direct", "dense", "pallas"):
             raise ValueError(f"unknown ed_backend {self.ed_backend!r}")
-        if self.ed_precision not in ("f64", "mixed", "fast"):
+        if self.ed_precision not in ("auto", "f64", "mixed", "fast"):
             raise ValueError(f"unknown ed_precision {self.ed_precision!r}")
         if not self.ed_total_ud and (self.jx != 0.0 or self.jp != 0.0):
             raise ValueError("ed_total_ud=False cannot be used with Jx!=0 "

@@ -27,7 +27,7 @@ from .config import EDConfig
 from .eigenspace import EigenState, StateList
 from .hamiltonian import build_sector_hamiltonian, dense_hamiltonian
 from .ops.factory import (apply_is_exact, exact_apply, make_sector_op,
-                          resolve_backend)
+                          resolve_backend, resolve_precision)
 from .ops.lanczos import lanczos_ground_state
 from .sectors import SectorQN, SectorTable
 
@@ -41,10 +41,11 @@ def _lanc_tol(cfg: EDConfig) -> float:
     remaining digits afterwards."""
     floor = {"f64": 1e-14, "mixed": 3e-6, "fast": 3e-5}
     backend = resolve_backend(cfg)
+    precision = resolve_precision(cfg)
     if backend == "pallas":
-        prec = "fast" if cfg.ed_precision == "fast" else "mixed"
+        prec = "fast" if precision == "fast" else "mixed"
     elif backend == "dense":
-        prec = cfg.ed_precision
+        prec = precision
     else:
         prec = "f64"
     return max(cfg.lanc_tolerance, floor[prec])
@@ -129,7 +130,7 @@ def _solve_batched_sectors(cfg: EDConfig, table: SectorTable, hloc, bath,
             ncv = min(ncv, min(dims))
             sols = lanczos_ground_state_bucket(
                 [g[1] for g in group], neigen, tol=_lanc_tol(cfg),
-                precision=cfg.ed_precision, ncv=ncv,
+                precision=resolve_precision(cfg), ncv=ncv,
                 dtype=jnp.dtype(cfg.ed_dtype))
             n_ok = sum(s is not None for s in sols)
             log.info("batched bucket %s: %d sectors, neigen=%d, %d solved",
@@ -191,7 +192,7 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
                 ncv=min(ncv, dim), tol=_lanc_tol(cfg),
                 dtype=jnp.dtype(cfg.ed_dtype), v0=v0,
                 vshape=sop.vshape, sharding=sop.sharding,
-                polish_apply=(None if cfg.ed_precision == "f64"
+                polish_apply=(None if resolve_precision(cfg) == "f64"
                               else sop.exact_nd))
             evecs = np.stack([sop.unpad_flat(v) for v in evecs_pad])
         elif lanc_solve:

@@ -223,7 +223,7 @@ def lanczos_ground_state_bucket(
         # exhausted chains restart from fresh random physical directions
         dead = np.asarray(beta_np) <= 0.0
         if dead.any():
-            v0 = np.asarray(v0)
+            v0 = np.array(v0)            # writable host copy
             for i in np.nonzero(dead)[0]:
                 vi = _pad_vec(rng.standard_normal(ops[i].dim), ops[i],
                               du_p, dd_p, dim_ph)

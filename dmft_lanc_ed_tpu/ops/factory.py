@@ -61,11 +61,33 @@ ND_APPLY = {matvec_flat: apply_h,
             matvec_direct_flat: apply_direct}
 
 
+def _on_accelerator() -> bool:
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 def resolve_backend(cfg: EDConfig) -> str:
+    """ed_backend="auto" resolves per platform: the dense tensor-product
+    MXU formulation on accelerators (where gathers hit the ~96 GB/s wall,
+    BASELINE.md), the stored ELL row-gather on CPU (where BLAS-free sparse
+    streaming wins and dense f64 matmuls are O(dim^1.5) wasted FLOPs).
+    ed_sparse_h=F dials the matrix-free direct backend, as in the
+    reference (ED_INPUT_VARS.f90:151)."""
     backend = cfg.ed_backend
     if backend == "auto":
-        backend = "ell" if cfg.ed_sparse_h else "direct"
+        if not cfg.ed_sparse_h:
+            return "direct"
+        return "dense" if _on_accelerator() else "ell"
     return backend
+
+
+def resolve_precision(cfg: EDConfig) -> str:
+    """ed_precision="auto": f32 MXU matmuls + f64 Rayleigh-Ritz polish on
+    accelerators (f64 matmuls are emulated there), exact f64 on CPU."""
+    prec = cfg.ed_precision
+    if prec == "auto":
+        return "mixed" if _on_accelerator() else "f64"
+    return prec
 
 
 def exact_apply(op) -> Optional[Callable]:
@@ -96,7 +118,7 @@ def make_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray, bath: Bath,
         op = None
     if backend == "dense":
         op = build_dense_op(cfg, sec, hloc, bath, h_basis=h_basis)
-        return op, _DENSE_APPLY[cfg.ed_precision]
+        return op, _DENSE_APPLY[resolve_precision(cfg)]
     if backend == "direct":
         if not direct_supported(cfg):
             log.warning("ed_backend=direct: orbital-resolved (ed_total_ud=F) "

@@ -52,6 +52,11 @@ _ND_APPLY = {"f64": matvec_dense, "mixed": matvec_dense_mixed,
              "fast": matvec_dense_fast}
 
 
+def _resolve_prec(cfg: "EDConfig") -> str:
+    from ..ops.factory import resolve_precision
+    return resolve_precision(cfg)
+
+
 def solver_mesh(cfg: EDConfig) -> Optional[Mesh]:
     """The device mesh requested by cfg.mesh_shape (None if unsharded)."""
     if not cfg.mesh_shape:
@@ -187,7 +192,7 @@ def shard_dense_op(op: DenseSectorOp, mesh: Mesh, cfg: EDConfig
         vshape = (op.dim_dw, op.dim_up)
         vspec = P(ax, None)
     return ShardedSectorOp(
-        op=sharded, apply_nd=_ND_APPLY[cfg.ed_precision],
+        op=sharded, apply_nd=_ND_APPLY[_resolve_prec(cfg)],
         exact_nd=matvec_dense, mesh=mesh, vshape=vshape, vspec=vspec,
         dim_dw=dim_dw, dim=dim)
 

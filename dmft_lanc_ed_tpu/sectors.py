@@ -77,10 +77,22 @@ def jw_sign(states: np.ndarray, pos: int) -> np.ndarray:
     return 1 - 2 * (_popcount_u64(below) & 1)
 
 
-def enumerate_states(nlevels: int, nparticles: int) -> np.ndarray:
-    """All bitmasks over nlevels with popcount == nparticles, ascending."""
+def enumerate_states_np(nlevels: int, nparticles: int) -> np.ndarray:
+    """All bitmasks over nlevels with popcount == nparticles, ascending
+    (numpy fallback; O(2^nlevels) filter)."""
     allstates = np.arange(1 << nlevels, dtype=np.int64)
     return allstates[_popcount_u64(allstates) == nparticles]
+
+
+def enumerate_states(nlevels: int, nparticles: int) -> np.ndarray:
+    """Sector basis masks, native Gosper enumeration (O(C(n,k)), native/
+    edcore.cpp) when the library loads, numpy filter otherwise."""
+    if nlevels >= 12:      # native wins above the ctypes call overhead
+        from . import native
+        out = native.enumerate_states(nlevels, nparticles)
+        if out is not None:
+            return out
+    return enumerate_states_np(nlevels, nparticles)
 
 
 # --------------------------------------------------------------------------
@@ -293,6 +305,17 @@ def hop_entries(states: np.ndarray, pos_create: int, pos_destroy: int,
     (ED_HAMILTONIAN/stored/H_up.f90, H_dw.f90).
     """
     m = states
+    if pos_create != pos_destroy and len(m) >= 512:
+        # native C hop kernel (native/edcore.cpp ed_hop_entries): ~4x the
+        # numpy throughput on large sector bases, same entry semantics
+        # (equivalence-tested in tests/test_native.py)
+        from . import native
+        out = native.hop_entries_batch(
+            m, np.array([pos_create], np.int32),
+            np.array([pos_destroy], np.int32),
+            np.array([amp], np.float64))
+        if out is not None:
+            return out
     if pos_create == pos_destroy:
         occ = ((m >> pos_destroy) & 1) == 1
         j = np.nonzero(occ)[0]

@@ -17,7 +17,7 @@ def lib():
 def test_enumerate_states_native(lib):
     for ns, npart in [(4, 2), (10, 5), (12, 3), (6, 0), (6, 6)]:
         got = native.enumerate_states(ns, npart)
-        expect = enumerate_states(ns, npart)
+        expect = __import__("dmft_lanc_ed_tpu.sectors", fromlist=["x"]).enumerate_states_np(ns, npart)
         np.testing.assert_array_equal(got, expect)
 
 
