@@ -173,6 +173,22 @@ class EDConfig:
                              "(ED_SETUP.f90 ed_checks_global)")
         if self.ed_finite_temp and self.lanc_nstates_total <= 1:
             raise ValueError("finite T requires lanc_nstates_total > 1")
+        # lanc_method parity (ed_checks_global, ED_SETUP.f90:81-87): the
+        # plain-Lanczos dial only supports the single-ground-state T=0 mode
+        # (arpack/dvdson both map onto the thick-restart solver here)
+        if self.lanc_method not in ("arpack", "lanczos", "dvdson"):
+            raise ValueError(f"unknown lanc_method {self.lanc_method!r}")
+        if self.lanc_method == "lanczos":
+            if self.lanc_nstates_total > 1:
+                raise ValueError("lanc_method=lanczos requires "
+                                 "lanc_nstates_total == 1 (T=0)")
+            if self.lanc_nstates_sector > 1:
+                raise ValueError("lanc_method=lanczos requires "
+                                 "lanc_nstates_sector == 1 (T=0)")
+        if self.ed_diag_type == "lanc" and not self.ed_finite_temp \
+                and self.lanc_nstates_total > 1:
+            # reference coerces this back to 1 with a warning
+            object.__setattr__(self, "lanc_nstates_total", 1)
         if not self.ed_total_ud and self.ed_solve_offdiag_gf:
             raise ValueError("off-diagonal GF requires ed_total_ud=True "
                              "(mixed operators span per-orbital sectors)")

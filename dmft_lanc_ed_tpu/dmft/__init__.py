@@ -10,4 +10,4 @@ from .selfcons import self_consistency, weiss_from_gloc, delta_from_gloc
 from .convergence import ConvergenceCheck
 from .mixing import LinearMixer, BroydenMixer
 from .search import DensitySearch
-from .kinetic import kinetic_energy_dos
+from .kinetic import kinetic_energy_dos, kinetic_energy_hk

@@ -34,3 +34,52 @@ def kinetic_energy_dos(ebands: np.ndarray, dbands: np.ndarray,
             fermi = 1.0 / (1.0 + np.exp(np.clip(beta * estar, -500, 500)))
             ekin += spin_deg * (e * fermi * d).sum()
     return float(ekin)
+
+
+def kinetic_energy_hk(hk: np.ndarray, sigma_mats: np.ndarray,
+                      wm: np.ndarray, beta: float, xmu: float = 0.0
+                      ) -> float:
+    """H(k)-form lattice kinetic energy (dmft_kinetic_energy for the Hk
+    drivers): E_kin = 2/(Nk beta) sum_{k,n} Tr[Hk Re(G - G_tail)] + exact
+    free tail with the static level Hk + Re Sigma(inf) - mu.
+
+    hk: [Nk, Nso, Nso]; sigma_mats in the reference [nspin,nspin,norb,
+    norb,L] layout; spin degeneracy applied when nspin == 1.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nspin, _, norb, _, L = sigma_mats.shape
+    nso = nspin * norb
+    spin_deg = 2.0 / nspin
+    sig_so = sigma_mats.transpose(0, 2, 1, 3, 4).reshape(nso, nso, L)
+    sig_inf = sig_so[..., -1].real
+    z = 1j * wm
+    eye = np.eye(nso)
+    hkj = jnp.asarray(hk)
+
+    @jax.jit
+    def _accum(zeta_dyn, zeta_tail):
+        def per_freq(args):
+            zd, zt = args
+            g = jnp.linalg.inv(zd[None] - hkj)
+            gt = jnp.linalg.inv(zt[None] - hkj)
+            # Tr[Hk (G - Gt)] summed over k
+            return jnp.einsum("kij,kji->", hkj, (g - gt).real).real
+        return jax.lax.map(per_freq, (zeta_dyn, zeta_tail)).sum()
+
+    zeta_dyn = ((z + xmu)[:, None, None] * eye[None]
+                - sig_so.transpose(2, 0, 1))
+    zeta_tail = ((z + xmu)[:, None, None] * eye[None]
+                 - sig_inf[None])
+    nk = hk.shape[0]
+    ekin = spin_deg * (2.0 / beta) / nk * float(
+        _accum(jnp.asarray(zeta_dyn), jnp.asarray(zeta_tail)))
+    # exact tail: eigenbasis of the static Hamiltonian per k
+    hstat = hk + sig_inf[None] - xmu * eye[None]
+    w, v = np.linalg.eigh(hstat)
+    fermi = 1.0 / (1.0 + np.exp(np.clip(beta * w, -500, 500)))
+    # Tr[Hk f(Hstat)] = sum_n f_n <v_n|Hk|v_n>
+    hv = np.einsum("kin,kij,kjn->kn", v.conj(), hk, v).real
+    ekin += spin_deg / nk * float((hv * fermi).sum())
+    return float(ekin)

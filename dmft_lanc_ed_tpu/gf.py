@@ -220,15 +220,30 @@ class _ExcBatcher:
             bmax = max(1, self.max_bytes // max(dim * 8, 1))
             for i0 in range(0, len(tasks), bmax):
                 chunk = tasks[i0:i0 + bmax]
+                # pad the batch to the next power of two with zero vectors
+                # (dead Krylov chains, masked out below) so every chunk of
+                # a sector reuses one executable instead of compiling per
+                # batch size — first-iteration compile count matters
+                # through the remote-compile tunnel
+                bpad = 1
+                while bpad < len(chunk):
+                    bpad *= 2
                 if sop is not None:
-                    v0 = sop.pad_flat_batch(
-                        np.stack([np.asarray(t[0]) for t in chunk]))
+                    vs = np.stack([np.asarray(t[0]) for t in chunk])
+                    if bpad > len(chunk):
+                        vs = np.concatenate(
+                            [vs, np.zeros((bpad - len(chunk), dim))])
+                    v0 = sop.pad_flat_batch(vs)
                 else:
                     v0 = jnp.stack([t[0] for t in chunk])
+                    if bpad > len(chunk):
+                        v0 = jnp.concatenate(
+                            [v0, jnp.zeros((bpad - len(chunk), dim),
+                                           v0.dtype)])
                 kernel_stats.record(m * len(chunk), getattr(op, "nnz", 0))
                 a_b, b_b = lanczos_tridiag_batched(op, v0, m, op_apply)
-                a_np = np.asarray(a_b)
-                b_np = np.asarray(b_b)
+                a_np = np.asarray(a_b)[:len(chunk)]
+                b_np = np.asarray(b_b)[:len(chunk)]
                 for t, a, b in zip(chunk, a_np, b_np):
                     _, norm2, state_e, isign, peso, gf = t
                     theta, s = tridiag_eigh(a, b)

@@ -4,8 +4,8 @@ Driver for the edn_DFT.f90 analogue: load a tight-binding Hamiltonian from a
 file and run DMFT on it. Accepted formats:
 
 - .npy       : complex array [Nk, Nso, Nso] (Nso = nspin*norb)
-- .dat/.txt  : wannier90-style ``hr`` listing reduced to a k-grid is out of
-               scope for round 1 — pre-convert to .npy
+- *_hr.dat   : wannier90 real-space listing, Fourier-transformed onto an
+               nk^3 grid (:func:`hk_from_w90_hr`; edn_PCO.f90:653-793)
 """
 from __future__ import annotations
 
@@ -136,11 +136,13 @@ def run_dmft(cfg: EDConfig, hk: np.ndarray, wmixing: float = 0.5,
         if converged and conv.error < cfg.dmft_error:
             break
 
+    from ..dmft.kinetic import kinetic_energy_hk
+    ekin = kinetic_energy_hk(hk, res.sigma_mats, wm, cfg.beta, xmu=cfg.xmu)
     return DMFTResult(
         converged=converged, iterations=len(history), error=conv.error,
         dens=res.observables.dens, docc=res.observables.docc, xmu=cfg.xmu,
         sigma_mats=res.sigma_mats, sigma_real=res.sigma_real,
-        g_mats=res.g_mats, weiss=weiss, bath=bath,
+        g_mats=res.g_mats, weiss=weiss, bath=bath, ekin=ekin,
         observables=res.observables, history=history)
 
 

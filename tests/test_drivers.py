@@ -175,3 +175,20 @@ def test_pco_bulk_workload(tmp_path):
     assert np.isfinite(res.dens).all()
     # crystal field ordering survives interaction at moderate U
     assert res.dens[0] >= res.dens[2] - 1e-6
+
+
+def test_kinetic_energy_hk_u0_exact():
+    """Hk-form lattice kinetic energy matches the exact band value at U=0
+    (dmft_kinetic_energy analogue)."""
+    from dmft_lanc_ed_tpu.dmft.hk import hk_square
+    from dmft_lanc_ed_tpu.dmft.kinetic import kinetic_energy_hk
+    beta = 50.0
+    hk = hk_square(24, 1, t=0.25)
+    L = 512
+    wm = np.pi / beta * (2 * np.arange(L) + 1)
+    sig = np.zeros((1, 1, 1, 1, L), complex)
+    ek = kinetic_energy_hk(hk, sig, wm, beta)
+    w = np.linalg.eigvalsh(hk)
+    f = 1.0 / (1.0 + np.exp(np.clip(beta * w, -500, 500)))
+    exact = 2.0 * (w * f).sum() / hk.shape[0]
+    assert abs(ek - exact) < 1e-8
