@@ -26,7 +26,8 @@ import numpy as np
 from .config import EDConfig
 from .eigenspace import StateList
 from .gf import HCache
-from .ops.lanczos import lanczos_tridiag, tridiag_eigh
+from .ops.lanczos import (lanczos_tridiag, lanczos_tridiag_batched,
+                          tridiag_eigh)
 from .sectors import SectorTable, occupations
 
 
@@ -108,19 +109,13 @@ def _diag_op_excite(cfg, sec, vec, diag_op):
     return (v * diag_op[None]).reshape(-1)
 
 
-def _accumulate(cfg, hcache, sqn, vv, state_e, therm, chi: ChiPoles) -> None:
-    """Krylov-tridiagonalize O|psi> and store one-sided pole data.
+def _store_poles(cfg, alphas, betas, norm2, state_e, therm,
+                 chi: ChiPoles) -> None:
+    """Ritz-decompose one tridiagonal and store one-sided pole data.
 
     ``therm`` = (e0, emax, zeta, wi): global ground-state energy, top of the
     state list, partition function, and this state's Boltzmann weight."""
     e0, emax, zeta, wi = therm
-    norm2 = float(jnp.vdot(vv, vv).real)
-    if norm2 < 1e-28:
-        return
-    vv = vv / jnp.sqrt(norm2)
-    op, op_apply = hcache(sqn)
-    m = min(vv.shape[0], cfg.lanc_ngfiter)
-    alphas, betas = lanczos_tridiag(op, vv, m, op_apply)
     theta, s = tridiag_eigh(alphas, betas)
     strength = norm2 * (s[0, :] ** 2)                 # P per Ritz pole
     de = theta - state_e
@@ -136,6 +131,63 @@ def _accumulate(cfg, hcache, sqn, vv, state_e, therm, chi: ChiPoles) -> None:
     chi.add(peso[keep], pth[keep], de[keep], rev[keep])
 
 
+def _accumulate(cfg, hcache, sqn, vv, state_e, therm, chi: ChiPoles) -> None:
+    """Krylov-tridiagonalize O|psi> and store one-sided pole data."""
+    norm2 = float(jnp.vdot(vv, vv).real)
+    if norm2 < 1e-28:
+        return
+    vv = vv / jnp.sqrt(norm2)
+    op, op_apply = hcache(sqn)
+    m = min(vv.shape[0], cfg.lanc_ngfiter)
+    alphas, betas = lanczos_tridiag(op, vv, m, op_apply)
+    _store_poles(cfg, alphas, betas, norm2, state_e, therm, chi)
+
+
+class _ChiBatcher:
+    """Collects same-sector excitation vectors and tridiagonalizes them in
+    one vmapped Lanczos scan per sector (the chi analogue of the GF
+    _ExcBatcher): at finite T every retained state spawns norb(norb+3)/2
+    channels per sector, all sharing the same operator."""
+
+    def __init__(self, cfg: EDConfig, hcache: HCache, max_bytes=1 << 27):
+        self.cfg = cfg
+        self.hcache = hcache
+        self.groups: Dict = {}
+        self.max_bytes = max_bytes
+
+    def add(self, sqn, vv, state_e, therm, chi: ChiPoles) -> None:
+        norm2 = float(jnp.vdot(vv, vv).real)
+        if norm2 < 1e-28:
+            return
+        self.groups.setdefault(sqn, []).append(
+            (vv / jnp.sqrt(norm2), norm2, state_e, therm, chi))
+
+    def run(self) -> None:
+        from .utils.observability import kernel_stats
+        for sqn, tasks in self.groups.items():
+            op, op_apply = self.hcache(sqn)
+            dim = tasks[0][0].shape[0]
+            m = min(dim, self.cfg.lanc_ngfiter)
+            bmax = max(1, self.max_bytes // max(dim * 8, 1))
+            for i0 in range(0, len(tasks), bmax):
+                chunk = tasks[i0:i0 + bmax]
+                bpad = 1
+                while bpad < len(chunk):
+                    bpad *= 2
+                v0 = jnp.stack([t[0] for t in chunk])
+                if bpad > len(chunk):
+                    v0 = jnp.concatenate(
+                        [v0, jnp.zeros((bpad - len(chunk), dim), v0.dtype)])
+                kernel_stats.record(m * len(chunk), getattr(op, "nnz", 0))
+                a_b, b_b = lanczos_tridiag_batched(op, v0, m, op_apply)
+                a_np = np.asarray(a_b)[:len(chunk)]
+                b_np = np.asarray(b_b)[:len(chunk)]
+                for t, a, b in zip(chunk, a_np, b_np):
+                    _, norm2, state_e, therm, chi = t
+                    _store_poles(self.cfg, a, b, norm2, state_e, therm, chi)
+        self.groups.clear()
+
+
 def _build_chi_diagop(cfg: EDConfig, table: SectorTable, hcache: HCache,
                       state_list: StateList, op_orb) -> ChiSet:
     """Generic driver for diagonal hermitian operators per orbital.
@@ -147,6 +199,7 @@ def _build_chi_diagop(cfg: EDConfig, table: SectorTable, hcache: HCache,
     chis: ChiSet = {}
     weights, zeta = state_list.boltzmann_weights(cfg.beta, cfg.finite_t)
     e0, emax = state_list.emin, state_list.emax
+    batcher = _ChiBatcher(cfg, hcache)
     for w_s, st in zip(weights, state_list.states):
         wi = w_s if cfg.finite_t else 1.0
         therm = (e0, emax, zeta, wi)
@@ -154,18 +207,19 @@ def _build_chi_diagop(cfg: EDConfig, table: SectorTable, hcache: HCache,
         ops = [op_orb(sec, a) for a in range(cfg.norb)]
         for a in range(cfg.norb):
             vv = _diag_op_excite(cfg, sec, st.vec, ops[a])
-            _accumulate(cfg, hcache, st.qn, vv, st.e, therm,
+            batcher.add(st.qn, vv, st.e, therm,
                         chis.setdefault((a, a), ChiPoles()))
         for a in range(cfg.norb):
             for b in range(a + 1, cfg.norb):
                 vv = _diag_op_excite(cfg, sec, st.vec, ops[a] + ops[b])
-                _accumulate(cfg, hcache, st.qn, vv, st.e, therm,
+                batcher.add(st.qn, vv, st.e, therm,
                             chis.setdefault((a, b), ChiPoles()))
         if cfg.norb > 1:
             tot = sum(ops[1:], ops[0])
             vv = _diag_op_excite(cfg, sec, st.vec, tot)
-            _accumulate(cfg, hcache, st.qn, vv, st.e, therm,
+            batcher.add(st.qn, vv, st.e, therm,
                         chis.setdefault((-1, -1), ChiPoles()))
+    batcher.run()
     # recombine mixed channels: chi_ab = (chi_mix - chi_aa - chi_bb)/2
     for a in range(cfg.norb):
         for b in range(a + 1, cfg.norb):
@@ -389,10 +443,12 @@ def build_gf_phonon(cfg: EDConfig, table: SectorTable, hcache: HCache,
         x[p, p + 1] = np.sqrt(p + 1.0)
         x[p + 1, p] = np.sqrt(p + 1.0)
     xj = jnp.asarray(x)
+    batcher = _ChiBatcher(cfg, hcache)
     for w_s, st in zip(weights, state_list.states):
         wi = w_s if cfg.finite_t else 1.0
         sec = table.sector(st.qn)
         v = st.vec.reshape(sec.dim_ph, sec.dim_dw, sec.dim_up)
         vv = jnp.einsum("pq,qdu->pdu", xj, v).reshape(-1)
-        _accumulate(cfg, hcache, st.qn, vv, st.e, (e0, emax, zeta, wi), chi)
+        batcher.add(st.qn, vv, st.e, (e0, emax, zeta, wi), chi)
+    batcher.run()
     return chi
