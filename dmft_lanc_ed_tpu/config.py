@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 MAX_ORB = 5  # reference caps Norb at 5 (Uloc/g_ph are dimension(5) arrays)

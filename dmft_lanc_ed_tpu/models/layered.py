@@ -19,7 +19,7 @@ from ..dmft import ConvergenceCheck, LinearMixer
 from ..dmft.gloc import gloc_blocks
 from ..dmft.selfcons import self_consistency
 from ..hloc import decompose_hloc
-from ..lattice import LatticeResult, LatticeSolver
+from ..lattice import LatticeSolver
 from ..solver import matsubara_grid
 
 log = logging.getLogger("dmft_lanc_ed_tpu")

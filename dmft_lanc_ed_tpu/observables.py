@@ -19,7 +19,7 @@ Quantities (reference names in parentheses):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax.numpy as jnp

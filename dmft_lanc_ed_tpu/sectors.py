@@ -221,7 +221,6 @@ class SectorTable:
 
     def _composite_states(self, counts: Sequence[int]) -> np.ndarray:
         """Sorted full-Ns masks with per-channel popcounts == counts."""
-        from itertools import product as iproduct
         per_channel = []
         for iud, n in enumerate(counts):
             lvls = np.array(self._channel_levels(iud))

@@ -158,6 +158,10 @@ class EDSolver:
         obs.zimp, obs.simp = zimp_simp(cfg, sigma_mats, self.wm)
 
         chi_spin = chi_dens = gf_ph = None
+        if cfg.chipair_flag or cfg.chiexct_flag:
+            log.warning("chipair/chiexct susceptibilities are disabled in "
+                        "the reference live tree (ED_GREENS_FUNCTIONS.f90:"
+                        "85-89) and not computed here")
         if cfg.chispin_flag or cfg.chidens_flag or cfg.dim_ph > 1:
             from . import chi as chi_mod
             full = cfg.ed_diag_type == "full"
