@@ -152,6 +152,8 @@ BENCHES = {
 
 
 def main():
+    import faulthandler
+    faulthandler.dump_traceback_later(240, repeat=True, file=sys.stderr)
     import jax
     names = sys.argv[1:] or list(BENCHES)
     dev = jax.devices()[0]
