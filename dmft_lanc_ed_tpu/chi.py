@@ -64,7 +64,14 @@ class ChiPoles:
         self.rev = np.concatenate([self.rev, rev])
 
     def matsubara(self, beta: float, vm: np.ndarray) -> np.ndarray:
-        """chi(iv_n) on the bosonic grid (vm[0] == 0 handled specially)."""
+        """chi(iv_n) on the bosonic grid (vm[0] == 0 handled specially).
+
+        The pole weights are baked at the solve's beta; evaluating at a
+        different temperature is inconsistent and rejected."""
+        if len(self.peso) and abs(beta - self.beta) > 1e-12 * self.beta:
+            raise ValueError(
+                f"ChiPoles evaluated at beta={beta} but weights were "
+                f"accumulated at beta={self.beta}")
         out = np.zeros(len(vm))
         p, pt, de, rev = self.peso, self.pth, self.de, self.rev
         if len(p) == 0:
@@ -92,6 +99,10 @@ class ChiPoles:
     def realaxis(self, beta: float, wr: np.ndarray, eps: float) -> np.ndarray:
         if len(self.peso) == 0:
             return np.zeros(len(wr), dtype=np.complex128)
+        if abs(beta - self.beta) > 1e-12 * self.beta:
+            raise ValueError(
+                f"ChiPoles evaluated at beta={beta} but weights were "
+                f"accumulated at beta={self.beta}")
         z = wr + 1j * eps
         fac = self.peso - self.pth
         return (fac[None, :] * (1.0 / (z[:, None] + self.de[None, :])
@@ -168,7 +179,10 @@ class _ChiBatcher:
             op, op_apply = self.hcache(sqn)
             dim = tasks[0][0].shape[0]
             m = min(dim, self.cfg.lanc_ngfiter)
-            bmax = max(1, self.max_bytes // max(dim * 8, 1))
+            # largest power of two within the byte budget, so the pow2
+            # batch padding below never exceeds it (ADVICE r2)
+            cap = max(1, self.max_bytes // max(dim * 8, 1))
+            bmax = 1 << (cap.bit_length() - 1)
             for i0 in range(0, len(tasks), bmax):
                 chunk = tasks[i0:i0 + bmax]
                 bpad = 1
@@ -199,6 +213,14 @@ def _build_chi_diagop(cfg: EDConfig, table: SectorTable, hcache: HCache,
     chis: ChiSet = {}
     weights, zeta = state_list.boltzmann_weights(cfg.beta, cfg.finite_t)
     e0, emax = state_list.emin, state_list.emax
+    if cfg.finite_t and not getattr(state_list, "clean_cut", True):
+        import logging
+        logging.getLogger("dmft_lanc_ed_tpu").warning(
+            "chi: state list is not a clean energy cut at emax (some "
+            "sectors may hide uncomputed levels below the cut) — the "
+            "one-sided reverse weighting can over-weight pairs whose "
+            "partner is missing; re-solve after neigen_sector adaptation "
+            "for converged susceptibilities")
     batcher = _ChiBatcher(cfg, hcache)
     for w_s, st in zip(weights, state_list.states):
         wi = w_s if cfg.finite_t else 1.0

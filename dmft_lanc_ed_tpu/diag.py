@@ -153,18 +153,18 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
     if cfg.ed_diag_type == "full":
         return _diag_full(cfg, table, hloc, bath, h_basis)
 
-    from .parallel.production import (shard_dense_op, should_shard,
-                                      solver_mesh)
+    from .parallel.production import should_shard, solver_mesh
     mesh = solver_mesh(cfg)
 
     qns = _scan_sectors(cfg, table, ctl)
     batch_results: Dict = {}
-    if cfg.ed_batch_sectors and cfg.ed_backend not in ("ell", "direct"):
+    if cfg.ed_batch_sectors and resolve_backend(cfg) not in ("ell", "direct"):
         batch_results = _solve_batched_sectors(cfg, table, hloc, bath, ctl,
                                                h_basis, mesh, qns)
 
     oldzero = np.inf
     diag_log = []
+    sector_tops = []
     for sqn in qns:
         dim = table.dim(sqn)
         neigen = _sector_neigen(cfg, ctl, sqn, dim)
@@ -176,11 +176,10 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
             evals, evecs = evals[:neigen], evecs[:neigen]
         elif lanc_solve and should_shard(cfg, mesh, sec.dim_dw, dim):
             # production dw-sharded solve (reference: P-ARPACK over the
-            # MPI Dw-split, ED_DIAG.f90:151-171)
-            from .ops.dense import build_dense_op
-            sop = shard_dense_op(
-                build_dense_op(cfg, sec, hloc, bath, h_basis=h_basis),
-                mesh, cfg)
+            # MPI Dw-split, ED_DIAG.f90:151-171); dense or matrix-free
+            # (direct) backend, per resolve_backend
+            from .parallel.production import shard_sector_op
+            sop = shard_sector_op(cfg, sec, hloc, bath, h_basis, mesh)
             ncv = min(dim, cfg.lanc_ncv_factor * neigen + cfg.lanc_ncv_add)
             ncv = max(ncv, 2 * neigen + 16)
             # start vector with exact-zero pad rows (the pad subspace is
@@ -192,7 +191,8 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
                 ncv=min(ncv, dim), tol=_lanc_tol(cfg),
                 dtype=jnp.dtype(cfg.ed_dtype), v0=v0,
                 vshape=sop.vshape, sharding=sop.sharding,
-                polish_apply=(None if resolve_precision(cfg) == "f64"
+                polish_apply=(None if sop.exact_nd is sop.apply_nd
+                              or resolve_precision(cfg) == "f64"
                               else sop.exact_nd))
             evecs = np.stack([sop.unpad_flat(v) for v in evecs_pad])
         elif lanc_solve:
@@ -215,6 +215,10 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
             evals, evecs = w[:neigen], v[:, :neigen].T
 
         diag_log.append((sqn, np.asarray(evals).copy(), lanc_solve))
+        # clean-cut bookkeeping: a sector solved for fewer states than its
+        # dimension may hide uncomputed levels above its top computed energy
+        sector_tops.append((sqn, float(np.max(evals)) if len(evals) else
+                            -np.inf, len(evals) >= dim))
         # twin reconstruction: the spin-flipped sector's eigenvector is the
         # [dw, up] transpose of this one (flip_state/twin_sector_order
         # analogue, trivial in our tensor-product layout)
@@ -247,6 +251,20 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
                         state_list.add(EigenState(qn_i, e, vec_i,
                                                   twin=qn_i != sqn))
     state_list.diag_log = diag_log
+    if finite_t and state_list.size:
+        # energy-cut cleanliness: the one-sided chi accumulation assumes the
+        # state list covers *every* eigenstate below emax. A sector whose
+        # top computed energy sits below emax (without being fully solved)
+        # may hide uncomputed levels below the cut (ADVICE r2: unconverged
+        # neigen_sector on early iterations).
+        tol = 1e-8 * max(1.0, state_list.emax - state_list.emin)
+        unclean = [sqn for sqn, top, full in sector_tops
+                   if not full and top < state_list.emax - tol]
+        state_list.clean_cut = not unclean
+        if unclean:
+            log.info("diag: state list is not a clean energy cut (sectors "
+                     "%s top out below emax); chi reverse-weighting may "
+                     "over-count until neigen_sector adapts", unclean[:4])
     _post_diag(cfg, state_list, ctl)
     return state_list
 

@@ -35,6 +35,10 @@ class StateList:
     # per-sector diagonalization log [(qn, eigenvalues, lanc_solve)] for the
     # eigenvalues_list.ed writer (print_eigenvalues_list, ED_DIAG.f90:265-270)
     diag_log: List = field(default_factory=list)
+    # whether the retained states form a clean energy cut at emax (every
+    # eigenstate below emax is in the list) — the one-sided chi reverse
+    # weighting relies on this; see diagonalize_impurity / _store_poles
+    clean_cut: bool = True
 
     @property
     def size(self) -> int:

@@ -120,14 +120,13 @@ class HCache:
 
     def __init__(self, cfg: EDConfig, table: SectorTable, hloc, bath: Bath,
                  h_basis=None):
-        from .ops.dense import build_dense_op
         from .ops.factory import make_sector_op
-        from .parallel.production import solver_mesh
+        from .parallel.production import shard_sector_op, solver_mesh
         self.cfg = cfg
         self._build = lambda sec: make_sector_op(
             cfg, sec, hloc, bath, h_basis=h_basis)
-        self._build_dense = lambda sec: build_dense_op(
-            cfg, sec, hloc, bath, h_basis=h_basis)
+        self._build_sharded = lambda sec, mesh: shard_sector_op(
+            cfg, sec, hloc, bath, h_basis, mesh)
         self.table = table
         self.mesh = solver_mesh(cfg)
         self._cache: Dict[SectorQN, tuple] = {}
@@ -140,13 +139,12 @@ class HCache:
 
     def sharded(self, sqn: SectorQN):
         """ShardedSectorOp for the sector, or None when unsharded."""
-        from .parallel.production import shard_dense_op, should_shard
+        from .parallel.production import should_shard
         sec = self.table.sector(sqn)
         if not should_shard(self.cfg, self.mesh, sec.dim_dw, sec.dim):
             return None
         if sqn not in self._sharded:
-            self._sharded[sqn] = shard_dense_op(
-                self._build_dense(sec), self.mesh, self.cfg)
+            self._sharded[sqn] = self._build_sharded(sec, self.mesh)
         return self._sharded[sqn]
 
 
@@ -217,7 +215,10 @@ class _ExcBatcher:
                 op, op_apply = self.hcache(jqn)
             dim = tasks[0][0].shape[0]
             m = min(dim, self.cfg.lanc_ngfiter)
-            bmax = max(1, self.max_bytes // max(dim * 8, 1))
+            # largest power of two within the byte budget, so the pow2
+            # batch padding below never exceeds it (ADVICE r2)
+            cap = max(1, self.max_bytes // max(dim * 8, 1))
+            bmax = 1 << (cap.bit_length() - 1)
             for i0 in range(0, len(tasks), bmax):
                 chunk = tasks[i0:i0 + bmax]
                 # pad the batch to the next power of two with zero vectors

@@ -245,7 +245,21 @@ def read_bath_restart(cfg: EDConfig, outdir: str = ".", suffix: str = ""
                         v[s, a, k] = row[i]
                         i += 1
         return pack_bath(cfg, Bath(e=jnp.asarray(e), v=jnp.asarray(v)))
-    raise NotImplementedError("replica bath restart read")
+    # replica/general: Nsym header (one line per replica), then per replica
+    # p: Nspin hybridization lines + one lambda row — the exact inverse of
+    # save_bath's replica branch and of the reference's read_dmft_bath
+    # (ED_BATH/dmft_aux.f90:159-210)
+    nsym = int(rows[0][0])
+    lam = np.zeros((cfg.nbath, nsym))
+    v = np.zeros((cfg.nbath, cfg.nspin))
+    idx = cfg.nbath
+    for p in range(cfg.nbath):
+        for s in range(cfg.nspin):
+            v[p, s] = rows[idx][0]
+            idx += 1
+        lam[p] = rows[idx][:nsym]
+        idx += 1
+    return pack_bath(cfg, Bath(lam=jnp.asarray(lam), v_rep=jnp.asarray(v)))
 
 
 def write_occupation_prob(cfg: EDConfig, obs: Observables, outdir: str = ".",

@@ -60,6 +60,19 @@ class LatticeResult:
         return np.stack([r.observables.mag for r in self.results])
 
 
+@dataclass
+class LatticeArrays:
+    """Merged per-site result arrays of a multi-host lattice solve
+    (the AllReduce'd [Nlat, ...] arrays of ED_MAIN.f90:603-672)."""
+    sigma_mats: np.ndarray     # [nlat, nspin, nspin, norb, norb, Lmats]
+    sigma_real: np.ndarray
+    g_mats: np.ndarray
+    dens: np.ndarray           # [nlat, norb]
+    docc: np.ndarray
+    mag: np.ndarray
+    egs: np.ndarray            # [nlat]
+
+
 class LatticeSolver:
     """N-site impurity solver bank (`ed_init_solver` lattice overload)."""
 
@@ -113,6 +126,59 @@ class LatticeSolver:
             else:
                 results.append(solver.solve(baths[i]))
         return LatticeResult(results)
+
+    def solve_multihost(self, baths: np.ndarray) -> "LatticeArrays":
+        """Multi-host (multi-process) lattice solve: each process solves its
+        round-robin subset of sites on its local devices and the per-site
+        result arrays are AllReduce-merged across hosts — the
+        ed_solve_lattice_mpi protocol (ED_MAIN.f90:603-672) over the JAX
+        multi-controller runtime (see parallel/multihost.py). Call
+        parallel.multihost.init_multihost first on every process.
+
+        Returns merged [nlat, ...] arrays, identical on every process; the
+        rich per-site SolveResult objects of the locally solved sites stay
+        available as ``self.local_results``."""
+        from .parallel.multihost import allreduce_sites, my_sites
+        mine = list(my_sites(self.nlat))
+        self.local_results = {}
+        for i in mine:
+            log.info("lattice site %d/%d (this process)", i + 1, self.nlat)
+            self.local_results[i] = self.solvers[i].solve(baths[i])
+        r0 = self.local_results[mine[0]] if mine else None
+
+        def merge(get, shape, dtype=np.float64):
+            return allreduce_sites(
+                {i: get(r) for i, r in self.local_results.items()},
+                self.nlat, shape, dtype)
+
+        cfg = self.cfg
+        gl = (cfg.nspin, cfg.nspin, cfg.norb, cfg.norb)
+        lm = np.asarray(r0.sigma_mats).shape[-1] if r0 is not None \
+            else cfg.lmats
+        lr = np.asarray(r0.sigma_real).shape[-1] if r0 is not None \
+            else cfg.lreal
+        return LatticeArrays(
+            sigma_mats=merge(lambda r: r.sigma_mats, gl + (lm,),
+                             np.complex128),
+            sigma_real=merge(lambda r: r.sigma_real, gl + (lr,),
+                             np.complex128),
+            g_mats=merge(lambda r: r.g_mats, gl + (lm,), np.complex128),
+            dens=merge(lambda r: r.observables.dens, (cfg.norb,)),
+            docc=merge(lambda r: r.observables.docc, (cfg.norb,)),
+            mag=merge(lambda r: r.observables.mag, (cfg.norb,)),
+            egs=merge(lambda r: np.float64(r.observables.egs), ()))
+
+    def fit_baths_multihost(self, weiss: np.ndarray, baths: np.ndarray,
+                            ispin: Optional[int] = None) -> np.ndarray:
+        """Per-site chi2 fit distributed over processes, AllReduce-merged
+        (ED_FIT_CHI2.f90:215-240)."""
+        from .parallel.multihost import allreduce_sites, my_sites
+        local = {}
+        for i in my_sites(self.nlat):
+            local[i] = chi2_fitgf(self.solvers[i].cfg, weiss[i], baths[i],
+                                  self.solvers[i].hloc, ispin=ispin,
+                                  h_basis=self.solvers[i].h_basis)
+        return allreduce_sites(local, self.nlat, baths.shape[1:])
 
     def fit_baths(self, weiss: np.ndarray, baths: np.ndarray,
                   ispin: Optional[int] = None,

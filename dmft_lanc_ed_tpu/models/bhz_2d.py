@@ -8,6 +8,8 @@ symmetry basis is extracted from the local Hamiltonian
 """
 from __future__ import annotations
 
+import ast
+
 import logging
 import sys
 from typing import Optional
@@ -89,7 +91,7 @@ def main(argv=None):
                 extra[k] = float(v)
             else:
                 try:
-                    overrides[k] = eval(v, {}, {})
+                    overrides[k] = ast.literal_eval(v)
                 except Exception:
                     overrides[k] = v
         else:

@@ -15,6 +15,8 @@ per spin, with the spin-down block the kx -> -kx conjugate.
 """
 from __future__ import annotations
 
+import ast
+
 import logging
 import sys
 
@@ -164,7 +166,7 @@ def main(argv=None):
                 extra[k] = float(v)
             else:
                 try:
-                    overrides[k] = eval(v, {}, {})
+                    overrides[k] = ast.literal_eval(v)
                 except Exception:
                     overrides[k] = v
         else:

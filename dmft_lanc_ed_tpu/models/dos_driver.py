@@ -9,6 +9,8 @@ field H0 [Nso].
 """
 from __future__ import annotations
 
+import ast
+
 import logging
 import time
 from typing import Dict, List, Optional
@@ -105,7 +107,7 @@ def parse_driver_argv(argv, float_keys=(), bool_keys=(), str_keys=()):
                 extra[k] = v
             else:
                 try:
-                    overrides[k] = eval(v, {}, {})
+                    overrides[k] = ast.literal_eval(v)
                 except Exception:
                     overrides[k] = v
         else:

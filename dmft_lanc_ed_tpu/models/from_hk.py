@@ -9,6 +9,8 @@ file and run DMFT on it. Accepted formats:
 """
 from __future__ import annotations
 
+import ast
+
 import logging
 import sys
 from typing import Optional
@@ -166,7 +168,7 @@ def main(argv=None):
                 extra[k] = float(v)
             else:
                 try:
-                    overrides[k] = eval(v, {}, {})
+                    overrides[k] = ast.literal_eval(v)
                 except Exception:
                     overrides[k] = v
         else:

@@ -17,6 +17,8 @@ Options mirrored from the reference driver:
 """
 from __future__ import annotations
 
+import ast
+
 import logging
 import sys
 from typing import Optional
@@ -147,7 +149,7 @@ def main(argv=None):
                 extra[k] = tuple(float(x) for x in v.strip("()").split(","))
             else:
                 try:
-                    overrides[k] = eval(v, {}, {})
+                    overrides[k] = ast.literal_eval(v)
                 except Exception:
                     overrides[k] = v
         else:

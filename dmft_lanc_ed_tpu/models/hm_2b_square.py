@@ -6,6 +6,8 @@ dispersion, DMFT with Hk-based local GF and chi2 bath fitting.
 """
 from __future__ import annotations
 
+import ast
+
 import logging
 import sys
 from typing import Optional
@@ -91,7 +93,7 @@ def main(argv=None):
                 extra[k] = float(v)
             else:
                 try:
-                    overrides[k] = eval(v, {}, {})
+                    overrides[k] = ast.literal_eval(v)
                 except Exception:
                     overrides[k] = v
         else:

@@ -12,6 +12,8 @@ or programmatically:  run_dmft(cfg, wband=1.0) -> DMFTResult
 """
 from __future__ import annotations
 
+import ast
+
 import logging
 import sys
 import time
@@ -131,7 +133,7 @@ def main(argv=None):
                 extra[k] = v.lower() in ("t", "true", "1")
             else:
                 try:
-                    overrides[k] = eval(v, {}, {})
+                    overrides[k] = ast.literal_eval(v)
                 except Exception:
                     overrides[k] = v
         else:

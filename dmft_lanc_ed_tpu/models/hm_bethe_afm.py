@@ -8,6 +8,8 @@ seeded by a symmetry-breaking field (sb_field / break_symmetry_bath).
 """
 from __future__ import annotations
 
+import ast
+
 import logging
 import sys
 from typing import Optional
@@ -87,7 +89,7 @@ def main(argv=None):
                 extra[k] = float(v)
             else:
                 try:
-                    overrides[k] = eval(v, {}, {})
+                    overrides[k] = ast.literal_eval(v)
                 except Exception:
                     overrides[k] = v
         else:

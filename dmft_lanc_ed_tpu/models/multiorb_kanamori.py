@@ -9,6 +9,8 @@ driver accepts directly.
 """
 from __future__ import annotations
 
+import ast
+
 import logging
 import sys
 from typing import Optional
@@ -91,10 +93,10 @@ def main(argv=None):
             if k in ("wband", "wmixing"):
                 extra[k] = float(v)
             elif k == "crystal_field":
-                extra[k] = eval(v, {}, {})
+                extra[k] = ast.literal_eval(v)
             else:
                 try:
-                    overrides[k] = eval(v, {}, {})
+                    overrides[k] = ast.literal_eval(v)
                 except Exception:
                     overrides[k] = v
         else:

@@ -7,7 +7,8 @@ apply_fn) chosen by cfg.ed_backend / cfg.ed_sparse_h / cfg.ed_precision:
 - "ell" (stored)  : tensor-product ELL factors, row-gather matvec
 - "dense"         : dense tensor-product factors, MXU matmuls (the TPU
                     production backend; honors ed_precision f64/mixed/fast)
-- "pallas"        : fused Pallas kernel over the dense factors (f32 path)
+- "pallas"        : band-sparse fused Pallas kernel (RCM-permuted factors,
+                    f32 chain, fused diagonal — see ops/blocksparse.py)
 - "direct"        : matrix-free, connectivity from bit ops on device
 - "auto"          : honors ed_sparse_h (True -> stored, False -> direct)
 
@@ -49,9 +50,9 @@ _DENSE_APPLY = {"f64": matvec_dense_flat,
 
 def apply_is_exact(op_apply: Callable) -> bool:
     """Whether the production apply is f64-exact (no polish needed)."""
-    from .pallas_matvec import matvec_pallas_flat
+    from .blocksparse import matvec_bs_flat
     return op_apply not in (matvec_dense_mixed_flat, matvec_dense_fast_flat,
-                            matvec_pallas_flat)
+                            matvec_bs_flat)
 
 # flat apply -> natural-shape apply (used by the sharded production path)
 ND_APPLY = {matvec_flat: apply_h,
@@ -95,9 +96,9 @@ def exact_apply(op) -> Optional[Callable]:
     production apply is already exact."""
     if isinstance(op, DenseSectorOp):
         return matvec_dense_flat
-    from .pallas_matvec import PallasSectorOp, matvec_pallas_exact_flat
-    if isinstance(op, PallasSectorOp):
-        return matvec_pallas_exact_flat
+    from .blocksparse import BlockSparseSectorOp, matvec_bs_exact_flat
+    if isinstance(op, BlockSparseSectorOp):
+        return matvec_bs_exact_flat
     return None
 
 
@@ -106,14 +107,14 @@ def make_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray, bath: Bath,
                    ) -> Tuple[object, Callable]:
     backend = resolve_backend(cfg)
     if backend == "pallas":
-        from .pallas_matvec import pallas_applicable
+        from .blocksparse import blocksparse_applicable
         h = build_sector_hamiltonian(cfg, sec, hloc, bath, h_basis=h_basis)
-        if pallas_applicable(h):
-            from .pallas_matvec import build_pallas_dense_op, matvec_pallas_flat
-            return build_pallas_dense_op(h), matvec_pallas_flat
+        if blocksparse_applicable(h):
+            from .blocksparse import build_blocksparse_op, matvec_bs_flat
+            return build_blocksparse_op(h), matvec_bs_flat
         log.warning("ed_backend=pallas: sector %s not supported by the "
-                    "fused kernel (phonons/Jx-Jp); falling back to dense",
-                    (sec.nup, sec.ndw))
+                    "band-sparse kernel (phonons/Jx-Jp/VMEM); falling back "
+                    "to dense", (sec.nup, sec.ndw))
         backend = "dense"
         op = None
     if backend == "dense":

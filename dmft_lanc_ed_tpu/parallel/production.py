@@ -95,7 +95,7 @@ class ShardedSectorOp:
     def pad_flat(self, v_flat: jnp.ndarray) -> jnp.ndarray:
         """Flat logical vector -> padded natural-shape sharded array."""
         dd_p = self.vshape[-2]
-        if self.op.ph_diag is not None:
+        if len(self.vshape) == 3:
             v = v_flat.reshape(self.vshape[0], self.dim_dw, self.vshape[-1])
             v = jnp.pad(v, ((0, 0), (0, dd_p - self.dim_dw), (0, 0)))
         else:
@@ -106,7 +106,7 @@ class ShardedSectorOp:
     def unpad_flat(self, v_nd: np.ndarray) -> np.ndarray:
         """Padded natural-shape array -> flat logical vector (host)."""
         v = np.asarray(v_nd).reshape(self.vshape)
-        if self.op.ph_diag is not None:
+        if len(self.vshape) == 3:
             return v[:, :self.dim_dw, :].reshape(-1)
         return v[:self.dim_dw, :].reshape(-1)
 
@@ -114,7 +114,7 @@ class ShardedSectorOp:
         """[B, dim] flat logical batch -> [B, *vshape] padded + sharded."""
         b = vs.shape[0]
         dd_p = self.vshape[-2]
-        if self.op.ph_diag is not None:
+        if len(self.vshape) == 3:
             v = np.asarray(vs).reshape(b, self.vshape[0], self.dim_dw,
                                        self.vshape[-1])
             v = np.pad(v, ((0, 0), (0, 0), (0, dd_p - self.dim_dw), (0, 0)))
@@ -195,6 +195,169 @@ def shard_dense_op(op: DenseSectorOp, mesh: Mesh, cfg: EDConfig
         op=sharded, apply_nd=_ND_APPLY[_resolve_prec(cfg)],
         exact_nd=matvec_dense, mesh=mesh, vshape=vshape, vspec=vspec,
         dim_dw=dim_dw, dim=dim)
+
+
+# --------------------------------------------------------------------------
+# sharded matrix-free (direct) backend
+# --------------------------------------------------------------------------
+# The direct op has no dim_dw^2 factor matrices, so it is the backend that
+# scales past sectors whose dense factors cannot be replicated per device
+# (VERDICT r2: nbath=15/norb=1 -> 1.3 GB f64 hdw). The reference's answer is
+# the distributed matrix-free path (ED_HAMILTONIAN/direct_mpi/HxV_dw.f90 +
+# ED_HAMILTONIAN_DIRECT_HxV.f90:180-284) with the vector_transpose_MPI
+# sandwich; here the same sandwich is two sharding relayouts:
+#
+#   up hops   : local in the dw-sharded layout ([.., dw_shard, up] -> the
+#               transposed view [.., up, dw_shard] is a free relabel; the
+#               output-row gather runs over the unsharded up axis)
+#   dw hops   : local in the up-sharded layout — one
+#               with_sharding_constraint relayout (XLA emits the all-to-all)
+#               before, one after
+#   diag      : elementwise, local
+#
+# Padding: the dw states are padded with all-ones masks (0x7FFFFFFF), for
+# which every hop's J-condition (bit_d empty) is false — pad rows can never
+# receive hop weight, keeping the pad subspace exactly invariant; their
+# diagonal is shifted by +PAD_SHIFT like the dense path.
+
+PAD_MASK = np.int32(0x7FFFFFFF)
+
+
+def pad_direct_op(op, n: int):
+    """Zero-pad the dw axis of a DirectSectorOp to a multiple of n."""
+    from ..ops.direct import DirectSectorOp
+    dd = op.dim_dw
+    ddp = pad_to_multiple(dd, n)
+    if ddp == dd:
+        return op
+    pd = ddp - dd
+    states_dw = jnp.concatenate(
+        [op.states_dw, jnp.full((pd,), PAD_MASK, jnp.int32)])
+    diag = jnp.pad(op.diag, ((0, 0),) * (op.diag.ndim - 2)
+                   + ((0, pd), (0, 0)), constant_values=PAD_SHIFT)
+    kw = {}
+    for f in ("nd_up_c", "nd_up_d", "nd_dw_c", "nd_dw_d", "nd_a",
+              "ph_w0", "ph_g", "ph_n"):
+        if getattr(op, f) is not None:
+            kw[f] = getattr(op, f)
+    return DirectSectorOp(
+        states_up=op.states_up, states_dw=states_dw, diag=diag,
+        up_c=op.up_c, up_d=op.up_d, up_a=op.up_a,
+        dw_c=op.dw_c, dw_d=op.dw_d, dw_a=op.dw_a, **kw)
+
+
+@dataclass(frozen=True)
+class ShardedDirectOp:
+    """DirectSectorOp + the two vector layouts of the transpose sandwich."""
+    base: object                     # padded DirectSectorOp (pytree)
+    row_sh: NamedSharding = None     # [.., dw_shard, up]
+    col_sh: NamedSharding = None     # [.., dw, up_shard]
+
+    @property
+    def nnz(self) -> int:
+        return self.base.nnz
+
+
+jax.tree_util.register_dataclass(
+    ShardedDirectOp, data_fields=["base"], meta_fields=["row_sh", "col_sh"])
+
+
+def apply_direct_sharded(sop: ShardedDirectOp, v: jnp.ndarray) -> jnp.ndarray:
+    """y = H v with the sharding-sandwich layout choreography."""
+    from ..ops.direct import _apply_direct_factor, _row_gather_map
+    op = sop.base
+    constrain = jax.lax.with_sharding_constraint
+    v = constrain(v, sop.row_sh)
+    y = op.diag * v
+    # up hops: free-relabel transpose, gather over the unsharded up axis
+    vt = jnp.swapaxes(v, -1, -2)
+    yt = _apply_direct_factor(op.states_up, op.up_c, op.up_d, op.up_a, vt,
+                              jnp.zeros_like(vt))
+    y = y + jnp.swapaxes(yt, -1, -2)
+    # dw hops: relayout to up-sharded (all-to-all), local gather, back
+    w = constrain(v, sop.col_sh)
+    yw = _apply_direct_factor(op.states_dw, op.dw_c, op.dw_d, op.dw_a, w,
+                              jnp.zeros_like(w))
+    y = y + constrain(yw, sop.row_sh)
+
+    if op.nd_a is not None:
+        def nd_body(t, acc):
+            src_u, w_u = _row_gather_map(op.states_up, op.nd_up_c[t],
+                                         op.nd_up_d[t])
+            src_d, w_d = _row_gather_map(op.states_dw, op.nd_dw_c[t],
+                                         op.nd_dw_d[t])
+            tmp = v[..., src_u] * w_u.astype(acc.dtype)      # up: local
+            tmp = constrain(tmp, sop.col_sh)                 # all-to-all
+            tmp = tmp[..., src_d, :] * w_d.astype(acc.dtype)[:, None]
+            return acc + op.nd_a[t] * constrain(tmp, sop.row_sh)
+        y = jax.lax.fori_loop(0, op.nd_a.shape[0], nd_body, y)
+
+    if op.ph_n is not None:
+        y = y + (op.ph_w0 * op.ph_n)[:, None, None] * v
+        norb = op.ph_g.shape[0]
+        occ_bits = jnp.arange(norb, dtype=jnp.int32)
+        gu = (((op.states_up[:, None] >> occ_bits) & 1).astype(op.ph_g.dtype)
+              @ op.ph_g)
+        gd = (((op.states_dw[:, None] >> occ_bits) & 1).astype(op.ph_g.dtype)
+              @ op.ph_g)
+        eph_el = gu[None, :] + gd[:, None] - op.ph_g.sum()
+        ev = eph_el[None] * v
+        coef = jnp.sqrt(op.ph_n[1:])[:, None, None]
+        y = y.at[:-1].add(coef * ev[1:])
+        y = y.at[1:].add(coef * ev[:-1])
+    return y
+
+
+def shard_direct_op(op, mesh: Mesh, cfg: EDConfig) -> ShardedSectorOp:
+    """Pad + place a DirectSectorOp on the mesh (dw-sharded diag, replicated
+    term/state tables) wrapped in the same ShardedSectorOp contract the
+    solver consumes for the dense backend."""
+    from ..ops.direct import DirectSectorOp
+    n = mesh.devices.size
+    ax = mesh.axis_names[0]
+    dim_dw, dim = op.dim_dw, op.dim_ph * op.dim_dw * op.dim_up
+    has_ph = op.ph_n is not None
+    op = pad_direct_op(op, n)
+    lead = (None,) if has_ph else ()
+    row = NamedSharding(mesh, P(*lead, ax, None))
+    col = NamedSharding(mesh, P(*lead, None, ax))
+    rep = NamedSharding(mesh, P())
+    put = jax.device_put
+    kw = {}
+    for f in ("nd_up_c", "nd_up_d", "nd_dw_c", "nd_dw_d", "nd_a",
+              "ph_w0", "ph_g", "ph_n"):
+        if getattr(op, f) is not None:
+            kw[f] = put(getattr(op, f), rep)
+    placed = DirectSectorOp(
+        states_up=put(op.states_up, rep), states_dw=put(op.states_dw, rep),
+        diag=put(op.diag, row),
+        up_c=put(op.up_c, rep), up_d=put(op.up_d, rep),
+        up_a=put(op.up_a, rep),
+        dw_c=put(op.dw_c, rep), dw_d=put(op.dw_d, rep),
+        dw_a=put(op.dw_a, rep), **kw)
+    sop = ShardedDirectOp(base=placed, row_sh=row, col_sh=col)
+    if has_ph:
+        vshape = (op.dim_ph, op.dim_dw, op.dim_up)
+        vspec = P(None, ax, None)
+    else:
+        vshape = (op.dim_dw, op.dim_up)
+        vspec = P(ax, None)
+    return ShardedSectorOp(
+        op=sop, apply_nd=apply_direct_sharded, exact_nd=apply_direct_sharded,
+        mesh=mesh, vshape=vshape, vspec=vspec, dim_dw=dim_dw, dim=dim)
+
+
+def shard_sector_op(cfg: EDConfig, sec, hloc, bath, h_basis,
+                    mesh: Mesh) -> ShardedSectorOp:
+    """Backend-dispatching sharded-op factory (dense or direct)."""
+    from ..ops.factory import resolve_backend
+    if resolve_backend(cfg) == "direct":
+        from ..ops.direct import build_direct_op
+        return shard_direct_op(
+            build_direct_op(cfg, sec, hloc, bath, h_basis=h_basis), mesh, cfg)
+    from ..ops.dense import build_dense_op
+    return shard_dense_op(
+        build_dense_op(cfg, sec, hloc, bath, h_basis=h_basis), mesh, cfg)
 
 
 def should_shard(cfg: EDConfig, mesh: Optional[Mesh], dim_dw: int,

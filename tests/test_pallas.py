@@ -1,7 +1,8 @@
-"""Fused Pallas dense-factor matvec kernel (interpret mode on CPU) and its
-factory dispatch. Device parity with the XLA path is covered by bench.py and
-the TPU verification drive; here the kernel math is validated against the
-ELL backend and the full-Fock oracle discipline of the suite."""
+"""Band-sparse fused Pallas kernel (interpret mode on CPU) and its factory
+dispatch. Device parity with the XLA path is covered by bench.py and the TPU
+verification drive; here the kernel math (RCM permutation, banded dw slabs,
+fused diagonal, padded-f32 chain semantics) is validated against the ELL
+backend and the exact f64 factor apply."""
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -9,12 +10,13 @@ import pytest
 from dmft_lanc_ed_tpu.bath import Bath
 from dmft_lanc_ed_tpu.config import EDConfig
 from dmft_lanc_ed_tpu.hamiltonian import build_sector_hamiltonian
+from dmft_lanc_ed_tpu.ops.blocksparse import (BlockSparseSectorOp,
+                                              blocksparse_applicable,
+                                              build_blocksparse_op,
+                                              chain_step, from_padded,
+                                              matvec_bs_exact_flat,
+                                              matvec_bs_padded, to_padded)
 from dmft_lanc_ed_tpu.ops.matvec import apply_h
-from dmft_lanc_ed_tpu.ops.pallas_matvec import (PallasSectorOp,
-                                                build_pallas_dense_op,
-                                                matvec_pallas,
-                                                matvec_pallas_exact_flat,
-                                                pallas_applicable)
 
 RNG = np.random.default_rng(5)
 
@@ -31,48 +33,72 @@ def _h(cfg, sqn, seed=0):
 
 
 @pytest.mark.parametrize("sqn", [((3,), (3,)), ((2,), (4,))])
-def test_pallas_fused_matches_xla(sqn):
+def test_blocksparse_kernel_matches_xla(sqn):
     cfg = EDConfig(norb=1, nbath=5, uloc=(1.8,))
     sec, h = _h(cfg, sqn)
-    assert pallas_applicable(h)
-    op = build_pallas_dense_op(h)
+    assert blocksparse_applicable(h)
+    op = build_blocksparse_op(h)
     v = jnp.asarray(RNG.normal(size=(sec.dim_dw, sec.dim_up)))
     y_ref = np.asarray(apply_h(h, v))
-    y_pal = np.asarray(matvec_pallas(op, v, interpret=True))
+    vp = to_padded(op, v)
+    yp = matvec_bs_padded(op, vp, interpret=True)
+    y_k = np.asarray(from_padded(op, yp))
     scale = np.abs(y_ref).max()
-    np.testing.assert_allclose(y_pal, y_ref, atol=1e-5 * scale)
-    # the exact f64 apply over the same factors matches to f64
+    np.testing.assert_allclose(y_k, y_ref, atol=1e-5 * scale)
+    # padded rows/cols stay exactly zero (chain invariant)
+    ddp, dup = op.padded_shape
+    assert float(np.abs(np.asarray(yp)[sec.dim_dw:, :]).max(initial=0)) == 0
+    assert float(np.abs(np.asarray(yp)[:, sec.dim_up:]).max(initial=0)) == 0
+    # the exact f64 apply over the natural-order factors matches to f64
     y_exact = np.asarray(
-        matvec_pallas_exact_flat(op, v.reshape(-1))).reshape(y_ref.shape)
+        matvec_bs_exact_flat(op, v.reshape(-1))).reshape(y_ref.shape)
     np.testing.assert_allclose(y_exact, y_ref, atol=1e-12 * scale)
 
 
-def test_pallas_two_orbitals():
+def test_blocksparse_two_orbitals():
     cfg = EDConfig(norb=2, nbath=2, uloc=(1.0, 1.5), ust=0.3, jh=0.05)
     sec, h = _h(cfg, ((3,), (2,)), seed=3)
-    op = build_pallas_dense_op(h)
+    op = build_blocksparse_op(h)
     v = jnp.asarray(RNG.normal(size=(sec.dim_dw, sec.dim_up)))
     y_ref = np.asarray(apply_h(h, v))
-    y_pal = np.asarray(matvec_pallas(op, v, interpret=True))
-    np.testing.assert_allclose(y_pal, y_ref, atol=1e-5 * np.abs(y_ref).max())
+    y_k = np.asarray(from_padded(
+        op, matvec_bs_padded(op, to_padded(op, v), interpret=True)))
+    np.testing.assert_allclose(y_k, y_ref, atol=1e-5 * np.abs(y_ref).max())
 
 
-def test_pallas_applicability_gates():
+def test_blocksparse_chain_step_normalizes():
+    """The fused chain step y = inv_norm * H v returns rsqrt(|y|^2) that
+    matches 1/|y| — a power-iteration chain needs no extra HBM pass."""
+    cfg = EDConfig(norb=1, nbath=6, uloc=(2.0,))
+    sec, h = _h(cfg, ((3,), (4,)), seed=2)
+    op = build_blocksparse_op(h)
+    v = jnp.asarray(RNG.normal(size=(sec.dim_dw, sec.dim_up)))
+    vp = to_padded(op, v / jnp.linalg.norm(v))
+    y1, r1 = chain_step(op, vp, jnp.float32(1.0), interpret=True)
+    np.testing.assert_allclose(float(r1), 1.0 / float(jnp.linalg.norm(y1)),
+                               rtol=1e-5)
+    # y2 = r1 * H y1 == H (r1 * y1) == H applied to the normalized y1
+    y2, r2 = chain_step(op, y1, r1, interpret=True)
+    y_ref = matvec_bs_padded(op, y1 * r1, interpret=True)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref), atol=1e-6)
+
+
+def test_blocksparse_applicability_gates():
     # Jx/Jp sectors are not covered by the fused kernel
     cfg = EDConfig(norb=2, nbath=2, uloc=(1.0, 1.0), ust=0.5, jh=0.1,
                    jx=0.1, jp=0.1)
     _, h = _h(cfg, ((3,), (3,)), seed=1)
-    assert not pallas_applicable(h)
+    assert not blocksparse_applicable(h)
     # phonon sectors neither
     cfg = EDConfig(norb=1, nbath=3, uloc=(1.0,), nph=2, g_ph=(0.2,),
                    w0_ph=0.5)
     _, h = _h(cfg, ((2,), (2,)), seed=1)
-    assert not pallas_applicable(h)
+    assert not blocksparse_applicable(h)
 
 
 def test_factory_pallas_dispatch_and_fallback(caplog):
-    """ed_backend=pallas dispatches the fused op, and falls back (loudly)
-    to dense for unsupported sectors."""
+    """ed_backend=pallas dispatches the band-sparse op, and falls back
+    (loudly) to dense for unsupported sectors."""
     from dmft_lanc_ed_tpu.ops.dense import DenseSectorOp
     from dmft_lanc_ed_tpu.ops.factory import make_sector_op
     from dmft_lanc_ed_tpu.sectors import SectorTable
@@ -83,7 +109,7 @@ def test_factory_pallas_dispatch_and_fallback(caplog):
     bath = init_bath(cfg)
     hloc = np.zeros((1, 1, 1, 1))
     op, apply_fn = make_sector_op(cfg, table.sector(((2,), (2,))), hloc, bath)
-    assert isinstance(op, PallasSectorOp)
+    assert isinstance(op, BlockSparseSectorOp)
 
     cfg2 = EDConfig(norb=1, nbath=3, uloc=(2.0,), nph=1, g_ph=(0.2,),
                     w0_ph=0.5, ed_backend="pallas")
@@ -94,4 +120,22 @@ def test_factory_pallas_dispatch_and_fallback(caplog):
         op2, _ = make_sector_op(cfg2, table2.sector(((2,), (2,))), hloc,
                                 bath2)
     assert isinstance(op2, DenseSectorOp)
-    assert any("falling back to dense" in r.message for r in caplog.records)
+    assert any("falling back" in r.message for r in caplog.records)
+
+
+def test_blocksparse_ground_state_exact_path():
+    """lanczos_ground_state over the op's exact f64 apply matches the dense
+    backend to 1e-10 — validates the natural-order factor algebra the
+    Rayleigh-Ritz polish relies on. (The compiled-kernel accuracy gate runs
+    on the real chip in bench.py; CPU only supports interpret mode.)"""
+    from dmft_lanc_ed_tpu.ops.lanczos import lanczos_ground_state
+    from dmft_lanc_ed_tpu.ops.dense import densify, matvec_dense_flat
+    cfg = EDConfig(norb=1, nbath=6, uloc=(2.0,))
+    sec, h = _h(cfg, ((3,), (3,)), seed=4)
+    op = build_blocksparse_op(h)
+    dop = densify(h)
+    e_ref, _ = lanczos_ground_state(dop, matvec_dense_flat, sec.dim, 1,
+                                    ncv=32, tol=1e-12)
+    e_bs, _ = lanczos_ground_state(op, matvec_bs_exact_flat, sec.dim, 1,
+                                   ncv=32, tol=1e-12)
+    np.testing.assert_allclose(e_bs[0], e_ref[0], atol=1e-10)
