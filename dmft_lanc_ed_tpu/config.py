@@ -174,8 +174,9 @@ class EDConfig:
         if self.ed_finite_temp and self.lanc_nstates_total <= 1:
             raise ValueError("finite T requires lanc_nstates_total > 1")
         # lanc_method parity (ed_checks_global, ED_SETUP.f90:81-87): the
-        # plain-Lanczos dial only supports the single-ground-state T=0 mode
-        # (arpack/dvdson both map onto the thick-restart solver here)
+        # plain-Lanczos dial only supports the single-ground-state T=0 mode;
+        # arpack -> thick-restart Lanczos (ops/lanczos.py), dvdson -> real
+        # diagonally-preconditioned Davidson (ops/davidson.py)
         if self.lanc_method not in ("arpack", "lanczos", "dvdson"):
             raise ValueError(f"unknown lanc_method {self.lanc_method!r}")
         if self.lanc_method == "lanczos":

@@ -200,13 +200,22 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
                                           h_basis=h_basis)
             ncv = min(dim, cfg.lanc_ncv_factor * neigen + cfg.lanc_ncv_add)
             ncv = max(ncv, 2 * neigen + 16)
-            evals, evecs = lanczos_ground_state(
-                op, op_apply, dim, neigen,
-                ncv=min(ncv, dim),
-                tol=_lanc_tol(cfg),
-                dtype=jnp.dtype(cfg.ed_dtype),
-                polish_apply=(None if apply_is_exact(op_apply)
-                              else exact_apply(op)))
+            polish = (None if apply_is_exact(op_apply) else exact_apply(op))
+            if cfg.lanc_method == "dvdson":
+                # real Davidson with diagonal preconditioning
+                # (sp_dvdson_eigh, ED_DIAG.f90:189-204)
+                from .ops.davidson import davidson_ground_state, op_diag_flat
+                evals, evecs = davidson_ground_state(
+                    op, op_apply, dim, neigen, op_diag_flat(op),
+                    ncv=min(ncv, dim), tol=_lanc_tol(cfg),
+                    dtype=jnp.dtype(cfg.ed_dtype), polish_apply=polish)
+            else:
+                evals, evecs = lanczos_ground_state(
+                    op, op_apply, dim, neigen,
+                    ncv=min(ncv, dim),
+                    tol=_lanc_tol(cfg),
+                    dtype=jnp.dtype(cfg.ed_dtype),
+                    polish_apply=polish)
         else:
             h = build_sector_hamiltonian(cfg, sec, hloc, bath,
                                          h_basis=h_basis)
