@@ -141,6 +141,34 @@ def _solve_batched_sectors(cfg: EDConfig, table: SectorTable, hloc, bath,
     return results
 
 
+def _blocksparse_ground_state(cfg: EDConfig, op, dim: int, neigen: int,
+                              ncv: int):
+    """Ground-state path of the band-sparse fused kernel: the whole Krylov
+    chain runs on permuted padded f32 vectors (one fused kernel per matvec,
+    zero per-step f64 glue or boundary gathers — ops/blocksparse.py), then
+    the f64 Rayleigh-Ritz polish over the natural-order exact factors
+    recovers f64 eigenpairs (the mixed-precision contract)."""
+    from .ops.blocksparse import (from_padded, matvec_bs_exact_flat,
+                                  matvec_bs_padded, to_padded)
+    from .ops.lanczos import refine_eigenpairs
+    v0n = jax.random.normal(jax.random.PRNGKey(17),
+                            (op.dim_dw, op.dim_up), jnp.float64)
+    v0 = to_padded(op, v0n / jnp.linalg.norm(v0n))
+    # f32 chains plateau near 1e-6 relative residuals; the polish below
+    # squares the subspace error back to f64 accuracy
+    _, evecs_p = lanczos_ground_state(
+        op, matvec_bs_padded, dim, neigen, ncv=ncv,
+        tol=max(_lanc_tol(cfg), 2e-6), dtype=jnp.float32, v0=v0,
+        vshape=op.padded_shape)
+    vecs_nat = jnp.stack([
+        from_padded(op, jnp.asarray(v).reshape(op.padded_shape),
+                    jnp.float64).reshape(-1) for v in evecs_p])
+    vals, vecs = refine_eigenpairs(op, matvec_bs_exact_flat, vecs_nat)
+    order = np.argsort(vals[:neigen])
+    return (np.asarray(vals[:neigen])[order],
+            np.asarray(vecs).reshape(neigen, -1)[order])
+
+
 def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
                          bath: Bath, ctl: Optional[DiagState] = None,
                          h_basis: Optional[np.ndarray] = None) -> StateList:
@@ -201,6 +229,7 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
             ncv = min(dim, cfg.lanc_ncv_factor * neigen + cfg.lanc_ncv_add)
             ncv = max(ncv, 2 * neigen + 16)
             polish = (None if apply_is_exact(op_apply) else exact_apply(op))
+            from .ops.blocksparse import BlockSparseSectorOp
             if cfg.lanc_method == "dvdson":
                 # real Davidson with diagonal preconditioning
                 # (sp_dvdson_eigh, ED_DIAG.f90:189-204)
@@ -209,6 +238,9 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
                     op, op_apply, dim, neigen, op_diag_flat(op),
                     ncv=min(ncv, dim), tol=_lanc_tol(cfg),
                     dtype=jnp.dtype(cfg.ed_dtype), polish_apply=polish)
+            elif isinstance(op, BlockSparseSectorOp):
+                evals, evecs = _blocksparse_ground_state(
+                    cfg, op, dim, neigen, min(ncv, dim))
             else:
                 evals, evecs = lanczos_ground_state(
                     op, op_apply, dim, neigen,

@@ -66,6 +66,7 @@ _HIGH = jax.lax.Precision.HIGH
 # for the streamed/double-buffered blocks and the compiler's scratch)
 VMEM_RESIDENT_BUDGET = 10 * 1024 * 1024
 VMEM_LIMIT = 14 * 1024 * 1024
+PAD_SHIFT = 1.0e3   # pad-row diagonal shift (see parallel.production)
 
 
 def _pad128(n: int) -> int:
@@ -175,7 +176,11 @@ def build_blocksparse_op(h: SectorHamiltonian) -> BlockSparseSectorOp:
 
     hup_pp = np.zeros((dup, dup), np.float32)
     hup_pp[:du, :du] = hup_p
-    diag_pp = np.zeros((ddp, dup), np.float32)
+    # pad diagonal shifted to +PAD_SHIFT: the pad subspace stays exactly
+    # invariant (zero factor rows) AND its spectrum sits far above every
+    # physical eigenvalue, so a random Lanczos restart with nonzero pad
+    # components can never converge into it
+    diag_pp = np.full((ddp, dup), PAD_SHIFT, np.float32)
     diag_pp[:dd, :du] = diag_p
 
     inv_up = np.empty(du, np.int64)
@@ -198,7 +203,10 @@ def _fused_kernel(scale_ref, v_ref, hup_ref, slab_ref, diag_ref,
                   out_ref, ss_ref, *, d_dw: int, w_dw: int, ddp: int,
                   precision):
     i = pl.program_id(0)
-    t = jnp.clip((i - d_dw) * 128, 0, ddp - w_dw)
+    # multiply by 128 LAST so Mosaic can statically prove the dynamic
+    # sublane start is tile-aligned ("cannot statically prove that index
+    # in dimension 0 is a multiple of 8" otherwise, measured on v5e)
+    t = jnp.clip(i - d_dw, 0, (ddp - w_dw) // 128) * 128
     v_blk = v_ref[pl.ds(i * 128, 128), :]
     acc = diag_ref[:] * v_blk
     acc = acc + jnp.dot(slab_ref[0], v_ref[pl.ds(t, w_dw), :],
@@ -266,10 +274,17 @@ def _matvec_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
           op.dw_slabs, op.diag32p)
 
 
+def _auto_interpret(interpret: bool) -> bool:
+    """Compiled Pallas needs the TPU; on CPU (tests, dryruns) fall back to
+    interpreter mode so the backend stays functional everywhere."""
+    return interpret or jax.default_backend() == "cpu"
+
+
 def matvec_bs_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
                      interpret: bool = False) -> jnp.ndarray:
     """Unscaled fused matvec on the permuted padded f32 vector."""
-    y, _ = _matvec_padded(op, v32p, jnp.float32(1.0), interpret=interpret)
+    y, _ = _matvec_padded(op, v32p, jnp.float32(1.0),
+                          interpret=_auto_interpret(interpret))
     return y
 
 
@@ -279,7 +294,8 @@ def chain_step(op: BlockSparseSectorOp, v32p: jnp.ndarray,
     """One normalized power-iteration step fused into a single kernel:
     y = (inv_norm * H_p) v, returning (y, rsqrt(|y|^2)) — feed the second
     output back as the next step's inv_norm."""
-    y, ss = _matvec_padded(op, v32p, inv_norm, interpret=interpret)
+    y, ss = _matvec_padded(op, v32p, inv_norm,
+                           interpret=_auto_interpret(interpret))
     return y, jax.lax.rsqrt(jnp.sum(ss) + 1e-30)
 
 

@@ -288,7 +288,7 @@ def lanczos_ground_state(
 
 
 def refine_eigenpairs(op, op_apply: Callable, vecs: jnp.ndarray,
-                      steps: int = 2, sharding=None
+                      steps: int = 3, sharding=None
                       ) -> Tuple[np.ndarray, jnp.ndarray]:
     """f64 Rayleigh-Ritz polish of approximate eigenpairs.
 

@@ -139,3 +139,21 @@ def test_blocksparse_ground_state_exact_path():
     e_bs, _ = lanczos_ground_state(op, matvec_bs_exact_flat, sec.dim, 1,
                                    ncv=32, tol=1e-12)
     np.testing.assert_allclose(e_bs[0], e_ref[0], atol=1e-10)
+
+
+def test_full_solve_pallas_backend_matches_dense():
+    """End-to-end ed_backend=pallas solve (f32 padded chain + f64 polish,
+    interpreter-mode kernel on CPU) matches the dense backend."""
+    import dmft_lanc_ed_tpu as ed
+    kw = dict(norb=1, nbath=4, uloc=(2.0,), lmats=24, lreal=8,
+              lanc_dim_threshold=8)
+    cfg_d = ed.read_input(None, **kw)
+    cfg_p = cfg_d.replace(ed_backend="pallas", ed_batch_sectors=False)
+    sd = ed.EDSolver(cfg_d)
+    sp = ed.EDSolver(cfg_p)
+    rd = sd.solve(sd.init_bath())
+    rp = sp.solve(sp.init_bath())
+    assert abs(rd.state_list.emin - rp.state_list.emin) < 1e-9
+    np.testing.assert_allclose(rp.observables.dens, rd.observables.dens,
+                               atol=1e-7)
+    np.testing.assert_allclose(rp.g_mats, rd.g_mats, atol=1e-5)
