@@ -324,7 +324,10 @@ def main():
 
     nnz = ref.get("nnz") or 11099088
     dim = ref.get("dim") or 853776
-    bw = bw or 8.19e11
+    # roofline denominator: never below the v5e spec HBM bandwidth, so a
+    # degraded tunnel-side measurement (202 GB/s observed round 3 vs the
+    # 819 GB/s chip spec) cannot inflate vs_baseline across rounds
+    bw = max(bw or 0.0, 8.19e11)
     if not times:
         print(json.dumps({"metric": "sector_spmv_nnz_per_s", "value": 0.0,
                           "unit": "nnz/s", "vs_baseline": 0.0,

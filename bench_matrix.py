@@ -151,21 +151,49 @@ BENCHES = {
 }
 
 
-def main():
+def run_one(name):
     import faulthandler
     faulthandler.dump_traceback_later(240, repeat=True, file=sys.stderr)
     import jax
-    names = sys.argv[1:] or list(BENCHES)
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
-    for name in names:
-        log(f"=== {name} ===")
-        t0 = time.perf_counter()
-        entry = BENCHES[name]()
-        entry["platform"] = dev.platform
-        entry["bench_wall_s"] = round(time.perf_counter() - t0, 1)
-        record(name, entry)
+    log(f"=== {name} ===")
+    t0 = time.perf_counter()
+    entry = BENCHES[name]()
+    entry["platform"] = dev.platform
+    entry["bench_wall_s"] = round(time.perf_counter() - t0, 1)
+    record(name, entry)
+
+
+def main():
+    """Parent: one subprocess per config with settle pauses (round-3
+    harness discipline — a tunnel stall/fault in one config cannot void the
+    others; BENCH_MATRIX.json accumulates incrementally either way)."""
+    import subprocess
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] \
+        or list(BENCHES)
+    settle = int(os.environ.get("BENCH_SETTLE_S", "75"))
+    timeout_s = int(os.environ.get("BENCH_MATRIX_TIMEOUT_S", "2400"))
+    for i, name in enumerate(names):
+        cmd = [sys.executable, os.path.abspath(__file__), "--one", name]
+        log(f"--- config {name} (timeout {timeout_s}s)")
+        try:
+            r = subprocess.run(cmd, timeout=timeout_s, stdout=sys.stderr,
+                               stderr=sys.stderr)
+            if r.returncode != 0:
+                log(f"{name}: exited rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"{name}: timed out")
+        if i + 1 < len(names):
+            log(f"settling the TPU tunnel for {settle}s")
+            time.sleep(settle)
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            log("BENCH_MATRIX.json:", json.dumps(json.load(fh)))
 
 
 if __name__ == "__main__":
-    main()
+    if "--one" in sys.argv:
+        run_one(sys.argv[sys.argv.index("--one") + 1])
+    else:
+        main()

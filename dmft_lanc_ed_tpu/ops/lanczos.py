@@ -288,38 +288,59 @@ def lanczos_ground_state(
 
 
 def refine_eigenpairs(op, op_apply: Callable, vecs: jnp.ndarray,
-                      steps: int = 3, sharding=None
+                      steps: int = 2, sharding=None
                       ) -> Tuple[np.ndarray, jnp.ndarray]:
     """f64 Rayleigh-Ritz polish of approximate eigenpairs.
 
     Builds the block Krylov space [V, HV, ..., H^steps V] with the exact
-    apply, orthonormalizes it through its Gram matrix (host LAPACK), and
-    solves the small projected eigenproblem. An input eigenvector with error
-    eta returns with eigenvalue error O(eta^2) (Rayleigh quotient) or better
-    (the extra Krylov blocks square the subspace error again) — this is how
+    apply, orthonormalizes it by modified Gram-Schmidt with full
+    reorthogonalization (two passes), and solves the small projected
+    eigenproblem. An input eigenvector with error eta returns with
+    eigenvalue error O(eta^2) (Rayleigh quotient) or better — this is how
     mixed-precision MXU Lanczos recovers f64-accurate spectra.
+
+    Numerical note (round-3 fix): the previous Gram-whitening construction
+    amplified f64 Gram noise through the near-singular unnormalized power
+    basis (dynamic range ||H||^(2*steps)), producing spurious *below-
+    minimum* Ritz values at the 1e-9 level on the 854k bench sector. MGS
+    with reorthogonalization keeps the projected problem orthonormal to
+    machine precision regardless of the basis conditioning.
     """
     k = vecs.shape[0]
-    blocks = [vecs]
-    for _ in range(steps):
-        prev = blocks[-1]
-        blocks.append(jnp.stack([
-            op_apply(op, prev[j]).reshape(prev[j].shape) for j in range(k)]))
-    b_mat = jnp.concatenate(blocks, axis=0)         # [b, *vshape]
-    nd = b_mat.ndim - 1
-    gram = np.asarray(jnp.tensordot(b_mat, b_mat, axes=[tuple(range(1, nd + 1)),
-                                                        tuple(range(1, nd + 1))]))
-    w, u = np.linalg.eigh(gram)
-    keep = w > 1e-12 * w.max()
-    whiten = u[:, keep] / np.sqrt(w[keep])          # [b, r]
-    basis = jnp.tensordot(jnp.asarray(whiten).T, b_mat, axes=1)  # [r, *vs]
-    hb = jnp.stack([op_apply(op, basis[j]).reshape(basis[j].shape)
-                    for j in range(basis.shape[0])])
-    a_mat = np.asarray(jnp.tensordot(basis, hb, axes=[tuple(range(1, nd + 1)),
-                                                      tuple(range(1, nd + 1))]))
+    nd = vecs.ndim - 1
+    axes = tuple(range(1, nd + 1))
+
+    basis = []          # orthonormal f64 vectors, natural shape
+    frontier = []       # per-input-chain latest H-power vector
+    for j in range(k):
+        frontier.append(vecs[j])
+    for step in range(steps + 1):
+        new_frontier = []
+        for j in range(len(frontier)):
+            cand = frontier[j]
+            if step < steps:
+                new_frontier.append(None)   # filled after orth below
+            w = cand
+            for _ in range(2):              # CGS2 against accepted basis
+                for b in basis:
+                    w = w - jnp.vdot(b, w) * b
+            nrm = float(jnp.linalg.norm(w))
+            cand_nrm = float(jnp.linalg.norm(cand))
+            if nrm > 1e-10 * max(cand_nrm, 1.0):
+                b_new = w / nrm
+                basis.append(b_new)
+                if step < steps:
+                    new_frontier[j] = op_apply(op, b_new).reshape(cand.shape)
+        frontier = [f for f in new_frontier if f is not None]
+        if not frontier and step < steps:
+            break
+    b_mat = jnp.stack(basis)                 # [r, *vshape] orthonormal
+    hb = jnp.stack([op_apply(op, b_mat[j]).reshape(b_mat[j].shape)
+                    for j in range(b_mat.shape[0])])
+    a_mat = np.asarray(jnp.tensordot(b_mat, hb, axes=[axes, axes]))
     a_mat = 0.5 * (a_mat + a_mat.T)
     vals, s = np.linalg.eigh(a_mat)
-    vecs_out = jnp.tensordot(jnp.asarray(s[:, :k]).T, basis, axes=1)
+    vecs_out = jnp.tensordot(jnp.asarray(s[:, :k]).T, b_mat, axes=1)
     nrm = jnp.sqrt(jnp.sum(vecs_out.reshape(k, -1) ** 2, axis=1))
     vecs_out = vecs_out / nrm.reshape((k,) + (1,) * nd)
     return vals[:k], vecs_out

