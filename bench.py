@@ -60,68 +60,90 @@ def log(*a):
 # --------------------------------------------------------------------------
 # measurement helpers (child processes only)
 # --------------------------------------------------------------------------
-def measure_stream_bw(jax, jnp, nbytes=2 ** 27, chain=30):
+def measure_stream_bw(jax, jnp, nbytes=2 ** 27, lo=10, hi=60):
     """Measured HBM bandwidth via a two-array recurrence the compiler cannot
-    fold (each step reads two arrays and writes one: 3 passes)."""
+    fold (each step reads two arrays and writes one: 3 passes). Slope-timed
+    between two chain lengths to cancel the ~24 ms dispatch latency."""
     n = nbytes // 8
     x = jnp.arange(n, dtype=jnp.float64)
     y = jnp.ones(n, dtype=jnp.float64)
 
-    @jax.jit
-    def run(x, y):
-        def step(carry, _):
-            x, y = carry
-            z = 0.5 * x + 0.4999999 * y
-            return (y, z), None
-        (xf, yf), _ = jax.lax.scan(step, (x, y), None, length=chain)
-        return yf
+    def make_run(chain):
+        @jax.jit
+        def run(x, y):
+            def step(carry, _):
+                x, y = carry
+                z = 0.5 * x + 0.4999999 * y
+                return (y, z), None
+            (xf, yf), _ = jax.lax.scan(step, (x, y), None, length=chain)
+            return yf
+        return run
 
-    run(x, y).block_until_ready()
-    t0 = time.perf_counter()
-    run(x, y).block_until_ready()
-    dt = (time.perf_counter() - t0) / chain
+    t = {}
+    for chain in (lo, hi):
+        run = make_run(chain)
+        run(x, y).block_until_ready()
+        best = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(x, y).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        t[chain] = best
+    dt = (t[hi] - t[lo]) / (hi - lo)
     bw = 3.0 * nbytes / dt
     # guard against any residual compiler shortcuts: v5e HBM tops out ~819GB/s
     return min(bw, 1.2e12)
 
 
-def bench_chain(jax, jnp, f, v, chain=100, reps=3):
-    @jax.jit
-    def run(v):
-        def step(v, _):
-            w = f(v)
-            return w / jnp.linalg.norm(w), None
-        out, _ = jax.lax.scan(step, v, None, length=chain)
-        return out
-
-    run(v).block_until_ready()
-    best = 1e30
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run(v).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / chain)
-    return best
+CHAIN_LO, CHAIN_HI = 200, 1200
 
 
-def bench_chain_fused(jax, jnp, step_fn, v0, chain=100, reps=3):
+def _slope_time(jax, make_run, v, reps=3):
+    """Per-step time via the slope between two chain lengths — the axon
+    tunnel adds a ~24 ms fixed latency to EVERY dispatch (measured round 3,
+    experiments/kernel_probe3.py), which dominated all naive chain timings
+    in rounds 1-2; differencing two lengths cancels it exactly."""
+    runs = {n: make_run(n) for n in (CHAIN_LO, CHAIN_HI)}
+    for r in runs.values():
+        r(v).block_until_ready()
+    t = {}
+    for n, r in runs.items():
+        best = 1e30
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r(v).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        t[n] = best
+    return (t[CHAIN_HI] - t[CHAIN_LO]) / (CHAIN_HI - CHAIN_LO)
+
+
+def bench_chain(jax, jnp, f, v, reps=3):
+    def make_run(n):
+        @jax.jit
+        def run(v):
+            def step(v, _):
+                w = f(v)
+                return w / jnp.linalg.norm(w), None
+            out, _ = jax.lax.scan(step, v, None, length=n)
+            return out
+        return run
+    return _slope_time(jax, make_run, v, reps)
+
+
+def bench_chain_fused(jax, jnp, step_fn, v0, reps=3):
     """Chain where the step carries (v, inv_norm) and normalization is
     fused into the kernel (the blocksparse chain contract)."""
-    @jax.jit
-    def run(v):
-        def step(carry, _):
-            v, r = carry
-            return step_fn(v, r), None
-        (out, _), _ = jax.lax.scan(
-            step, (v, jnp.float32(1.0)), None, length=chain)
-        return out
-
-    run(v0).block_until_ready()
-    best = 1e30
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run(v0).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / chain)
-    return best
+    def make_run(n):
+        @jax.jit
+        def run(v):
+            def step(carry, _):
+                v, r = carry
+                return step_fn(v, r), None
+            (out, _), _ = jax.lax.scan(
+                step, (v, jnp.float32(1.0)), None, length=n)
+            return out
+        return run
+    return _slope_time(jax, make_run, v0, reps)
 
 
 def _setup(cpu=False):
@@ -254,21 +276,22 @@ def phase_dense(out_path: str, e_ref):
 
 
 def phase_pallas(out_path: str, e_ref):
-    """Band-sparse fused kernel: chain timing + accuracy gate."""
+    """Band-sparse fused kernel: chain timing + accuracy gate (the gate
+    runs the PRODUCTION kernel path — f32 padded Krylov chain through the
+    split-bf16 kernel + self-tuning f64 Rayleigh-Ritz polish)."""
     jax, jnp, sec, h = _setup()
+    from dmft_lanc_ed_tpu.diag import _blocksparse_ground_state
+    from dmft_lanc_ed_tpu.config import EDConfig
     from dmft_lanc_ed_tpu.ops.blocksparse import (blocksparse_applicable,
                                                   build_blocksparse_op,
-                                                  chain_step,
-                                                  matvec_bs_exact_flat,
-                                                  matvec_bs_flat, to_padded)
-    from dmft_lanc_ed_tpu.ops.lanczos import lanczos_ground_state
+                                                  chain_step, to_padded)
     frag = _Frag(out_path)
     if not blocksparse_applicable(h):
         log("blocksparse not applicable to the bench sector")
         return
     op = build_blocksparse_op(h)
-    log(f"blocksparse: w_dw={op.w_dw} (ddp={op.padded_shape[0]}), "
-        f"padded {op.padded_shape}")
+    log(f"blocksparse: w_dw={op.w_dw}, w_up={op.w_up} "
+        f"(padded {op.padded_shape}), diag rank {op.diag_a.shape[1]}")
     v = jax.random.normal(jax.random.PRNGKey(0), (sec.dim_dw, sec.dim_up),
                           jnp.float64)
     vp = to_padded(op, v / jnp.linalg.norm(v))
@@ -278,8 +301,8 @@ def phase_pallas(out_path: str, e_ref):
               h.nnz)
     if e_ref is None:
         return
-    e, _ = lanczos_ground_state(op, matvec_bs_flat, sec.dim, 1, ncv=48,
-                                tol=3e-6, polish_apply=matvec_bs_exact_flat)
+    cfg = EDConfig(norb=NORB, nbath=NBATH, uloc=(2.0,), ed_dtype="float64")
+    e, _ = _blocksparse_ground_state(cfg, op, sec.dim, 1, ncv=48)
     frag.gate("pallas", float(e[0]), e_ref)
 
 

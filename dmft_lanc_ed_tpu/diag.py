@@ -154,11 +154,11 @@ def _blocksparse_ground_state(cfg: EDConfig, op, dim: int, neigen: int,
     v0n = jax.random.normal(jax.random.PRNGKey(17),
                             (op.dim_dw, op.dim_up), jnp.float64)
     v0 = to_padded(op, v0n / jnp.linalg.norm(v0n))
-    # f32 chains plateau near 1e-6 relative residuals; the polish below
-    # squares the subspace error back to f64 accuracy
+    # split-bf16 kernel chains plateau near ~2e-5 relative residuals; the
+    # self-tuning polish below squares the subspace error back to f64
     _, evecs_p = lanczos_ground_state(
         op, matvec_bs_padded, dim, neigen, ncv=ncv,
-        tol=max(_lanc_tol(cfg), 2e-6), dtype=jnp.float32, v0=v0,
+        tol=max(_lanc_tol(cfg), 5e-5), dtype=jnp.float32, v0=v0,
         vshape=op.padded_shape)
     vecs_nat = jnp.stack([
         from_padded(op, jnp.asarray(v).reshape(op.padded_shape),

@@ -2,51 +2,52 @@
 
 TPU-native re-design of the hot sector SpMV (reference hot loop:
 spMatVec_main / spMatVec_mpi_main, ED_HAMILTONIAN_SPARSE_HxV.f90:391-485).
-This is the round-3 answer to the round-2 findings:
+Round-3 design, driven by measured facts (experiments/kernel_probe*.py):
 
-1. **The f64 glue was the bottleneck, not the MXU.** Round-2 measured
-   dense_mixed (6-pass f32 matmuls) at 0.441 ms/mv vs dense_fast (3-pass) at
-   0.376 ms/mv on the 854k-state bench sector: only 65 us apart, so ~310 us
-   of every "fast" backend was the *fixed* XLA glue around the matmuls — the
-   emulated-f64 ``diag * v + y32.astype(f64)`` elementwise pass (f64 is
-   software-emulated on the TPU VPU). This kernel therefore fuses the
-   *entire* matvec — diagonal included — in f32, and the Krylov chain runs
-   on padded f32 vectors with no per-step f64 ops at all. Ground-state
-   eigenvalues are recovered to f64 by the Rayleigh-Ritz polish over the
-   exact f64 factors (:func:`..ops.lanczos.refine_eigenpairs`), the
-   mixed-precision contract the dense backend already established.
+1. **Slope-timed truth.** The axon tunnel adds ~24 ms of fixed latency to
+   every dispatch; with that removed, the dense XLA backends run the 854k
+   bench sector at 96 us (fast/HIGH) / 161 us (mixed/HIGHEST) per matvec —
+   MXU-pass-bound, not glue-bound.
 
-2. **Band-sparse factors cut the wasted MXU flops.** The hop factors are
-   ultra-sparse (fill ~ Ns/DimUp ~ 1%). A reverse-Cuthill-McKee reordering
-   of each factor's hop graph (host scipy, ~1 ms) concentrates the nnz into
-   a band of a few 128-tiles (measured on the bench factor: band 224 of
-   924). The dw-hop term then contracts only the banded window:
+2. **Manual split-bf16 3-pass matmuls.** Mosaic's dot lowering only offers
+   DEFAULT (1-pass bf16, ~1e-2 error) and HIGHEST (6-pass); XLA's 3-pass
+   HIGH is unavailable inside kernels. This kernel implements the 3-pass
+   product manually: A ~ A_hi + A_lo (bf16 split, precomputed), v split
+   per step, A@v ~ A_hi@v_hi + A_hi@v_lo + A_lo@v_hi — halving the MXU
+   passes vs HIGHEST at the ~1.5e-5 relative-error contract the polish
+   (ops/lanczos.refine_eigenpairs, self-tuning rounds) recovers from.
 
-       Y[i*128:(i+1)*128, :]  =  scale * ( D_blk (*) V_blk
-                                + Hdw_band[i] @ V[t_i : t_i+Wd, :]
-                                + V_blk @ Hup_dense )
+3. **RCM banding on both factors.** A reverse-Cuthill-McKee reordering of
+   each hop graph (host scipy) concentrates the nnz into a band of a few
+   128-tiles (measured: band 224 of 924 on the bench factor); both the dw
+   (sublane-side) and up (lane-side) contractions use clipped banded slabs,
+   skipping the all-zero tiles the dense path multiplies.
 
-   one grid step per dw row-panel; V and Hup stay VMEM-resident so HBM sees
-   one read of V and one write of Y per matvec. The up-hop term is kept
-   dense in v1 (banding it needs lane-dim dynamic slices; the dw band
-   already removes most of the waste for the row-panel form).
+4. **Separable low-rank diagonal.** The sector diagonal is an exactly
+   low-rank sum of up x dw occupation products (chemical potential, level
+   energies, density-density interactions); an adaptive-cross (ACA)
+   factorization on host (exact for exactly-low-rank matrices) turns the
+   4.2 MB diagonal stream into two tiny factor matrices contracted on the
+   MXU inside the kernel — diag_tile = A[i-panel] @ B, elementwise times v.
 
-3. **Fused chain normalization.** The kernel takes a scalar ``scale``
-   (SMEM) applied to the accumulator and emits per-panel sums of squares,
-   so a normalized Lanczos chain step is exactly one kernel launch: the
-   next step's scale is ``rsqrt(sum(ss))`` — no extra HBM pass to scale.
+5. **Fused chain normalization.** The kernel takes a scalar ``scale``
+   (SMEM) and emits per-panel sums of squares, so a normalized Lanczos
+   chain step is exactly one kernel launch with no extra HBM pass.
 
-The permutation is a similarity transform: the operator's spectrum is
-unchanged, and the whole Krylov chain runs in the permuted, padded f32
-space; vectors cross the boundary (pad/permute) once per *chain*, not per
-matvec. Padded rows/cols of the factors and diagonal are zero, so a vector
-that starts with zero padding keeps it exactly (0*x == 0 in f32).
+The permutation is a similarity transform: the whole Krylov chain runs in
+the permuted, padded f32 space; vectors cross the boundary once per chain.
+Pad rows/cols of the factors are zero and the pad diagonal is shifted
++PAD_SHIFT, so the pad subspace is exactly invariant and spectrally far
+above the physics.
 
-Gotcha (round 1, kept): Mosaic fails to legalize kernels when jax x64 mode
-is on; every pallas_call here runs under ``jax.enable_x64(False)``.
+Gotchas (hard-won): Mosaic fails to legalize kernels when jax x64 mode is
+on (every pallas_call runs under ``jax.enable_x64(False)``); dynamic slice
+starts must be *provably* tile-aligned — multiply block indices by 128 as
+the last operation.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Optional, Tuple
@@ -60,13 +61,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..hamiltonian import SectorHamiltonian
 
 _HIGHEST = jax.lax.Precision.HIGHEST
-_HIGH = jax.lax.Precision.HIGH
 
 # resident VMEM budget for applicability (v5e has ~16 MB/core; leave room
 # for the streamed/double-buffered blocks and the compiler's scratch)
 VMEM_RESIDENT_BUDGET = 10 * 1024 * 1024
 VMEM_LIMIT = 14 * 1024 * 1024
 PAD_SHIFT = 1.0e3   # pad-row diagonal shift (see parallel.production)
+ACA_RANK_MAX = 24   # diagonal separability cap (physics: ~2 + norb^2)
 
 
 def _pad128(n: int) -> int:
@@ -96,20 +97,80 @@ def _band(h: np.ndarray) -> int:
     return int(np.abs(i - j).max()) if i.size else 0
 
 
+def _split_bf16(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """a ~ hi + lo with both parts bf16 (the manual 3-pass decomposition)."""
+    a32 = np.asarray(a, np.float32)
+    hi = jnp.asarray(a32).astype(jnp.bfloat16)
+    lo = (jnp.asarray(a32) - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _aca(diag: np.ndarray, rmax: int = ACA_RANK_MAX,
+         tol: float = 1e-12) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Adaptive cross approximation diag ~ sum_r a_r (x) b_r (exact for the
+    exactly-low-rank sector diagonals; None if rank exceeds rmax)."""
+    r = np.array(diag, np.float64)
+    scale = np.abs(r).max() or 1.0
+    a_list, b_list = [], []
+    for _ in range(rmax):
+        flat = np.abs(r).argmax()
+        i, j = np.unravel_index(flat, r.shape)
+        piv = r[i, j]
+        if abs(piv) <= tol * scale:
+            break
+        a = r[:, j].copy()
+        b = r[i, :] / piv
+        a_list.append(a)
+        b_list.append(b)
+        r -= np.outer(a, b)
+    if np.abs(r).max() > 10 * tol * scale:
+        return None
+    if not a_list:
+        a_list, b_list = [np.zeros(diag.shape[0])], [np.zeros(diag.shape[1])]
+    return np.stack(a_list, 1), np.stack(b_list, 0)   # [dd, R], [R, du]
+
+
+def _banded_slabs(h_p: np.ndarray, n: int, np_: int, axis: int
+                  ) -> Tuple[np.ndarray, int, int]:
+    """Clipped banded slabs of a permuted factor, padded to np_.
+
+    axis=0: row slabs [nt, 128, W] (panel i of rows x column window) —
+    the dw form. axis=1: column slabs [nt, W, 128] — the up form.
+    """
+    nt = np_ // 128
+    d = (_band(h_p) + 127) // 128
+    w = min((2 * d + 1) * 128, np_)
+    hp = np.zeros((np_, np_))
+    hp[:n, :n] = h_p
+    if axis == 0:
+        slabs = np.zeros((nt, 128, w), np.float32)
+        for i in range(nt):
+            t = min(max((i - d) * 128, 0), np_ - w)
+            slabs[i] = hp[i * 128:(i + 1) * 128, t:t + w]
+    else:
+        slabs = np.zeros((nt, w, 128), np.float32)
+        for j in range(nt):
+            t = min(max((j - d) * 128, 0), np_ - w)
+            slabs[j] = hp[t:t + w, j * 128:(j + 1) * 128]
+    return slabs, w, d
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class BlockSparseSectorOp:
     """Sector operator for the band-sparse fused kernel.
 
-    Fast path (f32, RCM-permuted, 128-padded): ``diag32p``, ``hup32p``
-    (dense), ``dw_slabs`` (banded row slabs). Exact path (f64, natural
-    order): ``diag``, ``hup``, ``hdw`` — used by the Rayleigh-Ritz polish
-    and as the correctness oracle.
+    Fast path (RCM-permuted, 128-padded): split-bf16 banded slabs of both
+    factors + the separable f32 diagonal factors. Exact path (f64, natural
+    order): ``diag``, ``hup``, ``hdw`` — the Rayleigh-Ritz polish / oracle.
     """
-    # fast path (permuted + padded, f32)
-    diag32p: jnp.ndarray          # [ddp, dup]
-    hup32p: jnp.ndarray           # [dup, dup] dense, permuted, padded
-    dw_slabs: jnp.ndarray         # [ntd, 128, Wd] banded row slabs of Hdw
+    # fast path (permuted + padded)
+    dw_hi: jnp.ndarray            # [ntd, 128, Wd] bf16 row slabs of Hdw
+    dw_lo: jnp.ndarray
+    up_hi: jnp.ndarray            # [ntu, Wu, 128] bf16 column slabs of Hup
+    up_lo: jnp.ndarray
+    diag_a: jnp.ndarray           # [ddp, R] f32 separable-diagonal factors
+    diag_b: jnp.ndarray           # [R, dup] f32
     perm_dw: jnp.ndarray          # [dd] natural -> permuted gather indices
     perm_up: jnp.ndarray          # [du]
     iperm_dw: jnp.ndarray         # [dd] inverse
@@ -118,11 +179,17 @@ class BlockSparseSectorOp:
     diag: jnp.ndarray             # [dd, du]
     hup: jnp.ndarray              # [du, du]
     hdw: jnp.ndarray              # [dd, dd]
+    # mixed path (natural order, f32 factors for the GF/generic flat apply:
+    # f32-true HIGHEST matmuls + f64 diagonal — the dense-backend contract)
+    hup32: jnp.ndarray = None
+    hdw32: jnp.ndarray = None
     # static metadata
     dim_dw: int = field(default=0, metadata=dict(static=True))
     dim_up: int = field(default=0, metadata=dict(static=True))
     w_dw: int = field(default=0, metadata=dict(static=True))
     d_dw: int = field(default=0, metadata=dict(static=True))
+    w_up: int = field(default=0, metadata=dict(static=True))
+    d_up: int = field(default=0, metadata=dict(static=True))
     nnz_count: int = field(default=0, metadata=dict(static=True))
 
     @property
@@ -135,24 +202,26 @@ class BlockSparseSectorOp:
 
     @property
     def padded_shape(self) -> Tuple[int, int]:
-        return (self.dw_slabs.shape[0] * 128, self.hup32p.shape[0])
+        return (self.dw_hi.shape[0] * 128, self.up_hi.shape[0] * 128)
 
 
 def blocksparse_applicable(h: SectorHamiltonian) -> bool:
-    """Pure-electron sectors without Jx/Jp whose resident blocks (V + dense
-    Hup + banded Hdw slabs) fit the VMEM budget."""
+    """Pure-electron sectors without Jx/Jp whose resident blocks (f32 V +
+    split-bf16 banded slabs) fit the VMEM budget and whose diagonal is
+    ACA-separable (it always is for density-density interactions)."""
     if h.ph_diag is not None or h.nd_up_src is not None:
         return False
     ddp, dup = _pad128(h.dim_dw), _pad128(h.dim_up)
-    # worst case the band does not help: Wd = ddp
-    resident = 4 * (ddp * dup + dup * dup)
-    return resident <= VMEM_RESIDENT_BUDGET
+    # worst case the bands do not help: W = padded dim on both sides
+    resident = 4 * ddp * dup + 2 * 2 * (ddp * dup + dup * dup)
+    if resident > VMEM_RESIDENT_BUDGET:
+        return False
+    return _aca(np.asarray(h.diag, np.float64)) is not None
 
 
 def build_blocksparse_op(h: SectorHamiltonian) -> BlockSparseSectorOp:
     dd, du = h.dim_dw, h.dim_up
     ddp, dup = _pad128(dd), _pad128(du)
-    ntd = ddp // 128
     hup = _factor_dense(h.up_cols, h.up_vals, du)
     hdw = _factor_dense(h.dw_cols, h.dw_vals, dd)
     diag = np.asarray(h.diag, np.float64)
@@ -163,85 +232,109 @@ def build_blocksparse_op(h: SectorHamiltonian) -> BlockSparseSectorOp:
     hdw_p = hdw[perm_dw][:, perm_dw]
     diag_p = diag[perm_dw][:, perm_up]
 
-    # banded dw slabs: row panel i contracts Hdw_p rows [i*128,(i+1)*128)
-    # against the clipped 128-aligned column window [t_i, t_i + Wd)
-    d_dw = (_band(hdw_p) + 127) // 128
-    w_dw = min((2 * d_dw + 1) * 128, ddp)
-    hdw_pp = np.zeros((ddp, ddp))
-    hdw_pp[:dd, :dd] = hdw_p
-    slabs = np.zeros((ntd, 128, w_dw), np.float32)
-    for i in range(ntd):
-        t = min(max((i - d_dw) * 128, 0), ddp - w_dw)
-        slabs[i] = hdw_pp[i * 128:(i + 1) * 128, t:t + w_dw]
+    dw_slabs, w_dw, d_dw = _banded_slabs(hdw_p, dd, ddp, axis=0)
+    up_slabs, w_up, d_up = _banded_slabs(hup_p, du, dup, axis=1)
+    dw_hi, dw_lo = _split_bf16(dw_slabs)
+    up_hi, up_lo = _split_bf16(up_slabs)
 
-    hup_pp = np.zeros((dup, dup), np.float32)
-    hup_pp[:du, :du] = hup_p
-    # pad diagonal shifted to +PAD_SHIFT: the pad subspace stays exactly
-    # invariant (zero factor rows) AND its spectrum sits far above every
-    # physical eigenvalue, so a random Lanczos restart with nonzero pad
-    # components can never converge into it
-    diag_pp = np.full((ddp, dup), PAD_SHIFT, np.float32)
-    diag_pp[:dd, :du] = diag_p
+    # separable diagonal over the padded grid, pad shift included as two
+    # extra rank terms: PAD_SHIFT * (1_pad^dw (x) 1 + 1_phys^dw (x) 1_pad^up)
+    ab = _aca(diag_p)
+    if ab is None:
+        raise ValueError("sector diagonal is not ACA-separable "
+                         "(use the dense backend)")
+    a, b = ab
+    r = a.shape[1]
+    rp = max(8, ((r + 2 + 7) // 8) * 8)
+    diag_a = np.zeros((ddp, rp), np.float32)
+    diag_b = np.zeros((rp, dup), np.float32)
+    diag_a[:dd, :r] = a
+    diag_b[:r, :du] = b
+    diag_a[dd:, r] = PAD_SHIFT
+    diag_b[r, :] = 1.0
+    diag_a[:dd, r + 1] = PAD_SHIFT
+    diag_b[r + 1, du:] = 1.0
 
     inv_up = np.empty(du, np.int64)
     inv_up[perm_up] = np.arange(du)
     inv_dw = np.empty(dd, np.int64)
     inv_dw[perm_dw] = np.arange(dd)
     return BlockSparseSectorOp(
-        diag32p=jnp.asarray(diag_pp), hup32p=jnp.asarray(hup_pp),
-        dw_slabs=jnp.asarray(slabs),
+        dw_hi=dw_hi, dw_lo=dw_lo, up_hi=up_hi, up_lo=up_lo,
+        diag_a=jnp.asarray(diag_a), diag_b=jnp.asarray(diag_b),
         perm_dw=jnp.asarray(perm_dw), perm_up=jnp.asarray(perm_up),
         iperm_dw=jnp.asarray(inv_dw), iperm_up=jnp.asarray(inv_up),
         diag=jnp.asarray(diag), hup=jnp.asarray(hup), hdw=jnp.asarray(hdw),
-        dim_dw=dd, dim_up=du, w_dw=w_dw, d_dw=d_dw, nnz_count=h.nnz)
+        hup32=jnp.asarray(hup, jnp.float32),
+        hdw32=jnp.asarray(hdw, jnp.float32),
+        dim_dw=dd, dim_up=du, w_dw=w_dw, d_dw=d_dw, w_up=w_up, d_up=d_up,
+        nnz_count=h.nnz)
 
 
 # --------------------------------------------------------------------------
 # the fused kernel
 # --------------------------------------------------------------------------
-def _fused_kernel(scale_ref, v_ref, hup_ref, slab_ref, diag_ref,
-                  out_ref, ss_ref, *, d_dw: int, w_dw: int, ddp: int,
-                  precision):
+def _dot3(xhi, xlo, ahi, alo):
+    """3-pass split-bf16 product x @ a with f32 accumulation."""
+    kw = dict(preferred_element_type=jnp.float32)
+    return (jnp.dot(xhi, ahi, **kw) + jnp.dot(xlo, ahi, **kw)
+            + jnp.dot(xhi, alo, **kw))
+
+
+def _fused_kernel(scale_ref, v_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
+                  a_ref, b_ref, out_ref, ss_ref, *, d_dw: int, w_dw: int,
+                  ddp: int, d_up: int, w_up: int, dup: int):
     i = pl.program_id(0)
+    ntu = dup // 128
     # multiply by 128 LAST so Mosaic can statically prove the dynamic
-    # sublane start is tile-aligned ("cannot statically prove that index
-    # in dimension 0 is a multiple of 8" otherwise, measured on v5e)
-    t = jnp.clip(i - d_dw, 0, (ddp - w_dw) // 128) * 128
+    # starts are tile-aligned
+    t = jnp.minimum(jnp.maximum(i - d_dw, 0), (ddp - w_dw) // 128) * 128
+
     v_blk = v_ref[pl.ds(i * 128, 128), :]
-    acc = diag_ref[:] * v_blk
-    acc = acc + jnp.dot(slab_ref[0], v_ref[pl.ds(t, w_dw), :],
-                        preferred_element_type=jnp.float32,
-                        precision=precision)
-    acc = acc + jnp.dot(v_blk, hup_ref[:],
-                        preferred_element_type=jnp.float32,
-                        precision=precision)
+    vb_hi = v_blk.astype(jnp.bfloat16)
+    vb_lo = (v_blk - vb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    vw = v_ref[pl.ds(t, w_dw), :]
+    vw_hi = vw.astype(jnp.bfloat16)
+    vw_lo = (vw - vw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # separable diagonal: diag_panel = A[i-panel] @ B, elementwise times v
+    diag_panel = jnp.dot(a_ref[pl.ds(i * 128, 128), :], b_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=_HIGHEST)
+    acc = diag_panel * v_blk
+    # dw hops: banded row slab against the resident-V row window
+    acc = acc + _dot3(dwhi_ref[0], dwlo_ref[0], vw_hi, vw_lo)
+    # up hops: per column panel, banded column slab against a lane window
+    # of this row panel (static python loop -> unrolled, static slices;
+    # assembled by concatenation — .at[].add scatters capture constants
+    # that Mosaic cannot take)
+    up_parts = []
+    for j in range(ntu):
+        s = min(max((j - d_up) * 128, 0), dup - w_up)
+        up_parts.append(_dot3(vb_hi[:, s:s + w_up], vb_lo[:, s:s + w_up],
+                              uphi_ref[j], uplo_ref[j]))
+    acc = acc + (up_parts[0] if ntu == 1
+                 else jnp.concatenate(up_parts, axis=1))
     acc = acc * scale_ref[0, 0]
     out_ref[:] = acc
-    # ss is a full-array SMEM output (blocked SMEM specs are not lowerable);
-    # each grid step writes its own row
+    # ss is a full-array SMEM output (blocked SMEM specs are not lowerable)
     ss_ref[i, 0] = jnp.sum(acc * acc)
 
 
-@partial(jax.jit, static_argnames=("precision_name", "interpret"))
+@partial(jax.jit, static_argnames=("interpret",))
 def _matvec_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
-                   scale: jnp.ndarray, precision_name: str = "high",
-                   interpret: bool = False
+                   scale: jnp.ndarray, interpret: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One fused matvec on the permuted padded f32 vector.
 
     Returns (scale * H_p v, per-panel sums of squares [ntd, 1]).
     """
-    # Mosaic's dot lowering supports DEFAULT and HIGHEST only (HIGH raises
-    # NotImplementedError, measured on the v5e). DEFAULT is 1-pass bf16
-    # (~1e-3 matvec error — too coarse for Krylov chains); HIGHEST is the
-    # 6-pass f32-true product the mixed-precision contract assumes.
-    precision = (jax.lax.Precision.DEFAULT if precision_name == "default"
-                 else _HIGHEST)
     with jax.enable_x64(False):
         ddp, dup = v32p.shape
         ntd = ddp // 128
         kern = partial(_fused_kernel, d_dw=op.d_dw, w_dw=op.w_dw, ddp=ddp,
-                       precision=precision)
+                       d_up=op.d_up, w_up=op.w_up, dup=dup)
+        rp = op.diag_a.shape[1]
         return pl.pallas_call(
             kern,
             grid=(ntd,),
@@ -250,12 +343,18 @@ def _matvec_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
                              memory_space=pltpu.SMEM),        # scale
                 pl.BlockSpec((ddp, dup), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),        # V resident
-                pl.BlockSpec((dup, dup), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),        # Hup resident
                 pl.BlockSpec((1, 128, op.w_dw), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),        # dw slab
-                pl.BlockSpec((128, dup), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),        # diag panel
+                             memory_space=pltpu.VMEM),        # dw slab hi
+                pl.BlockSpec((1, 128, op.w_dw), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),        # dw slab lo
+                pl.BlockSpec((dup // 128, op.w_up, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),        # up slabs hi
+                pl.BlockSpec((dup // 128, op.w_up, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),        # up slabs lo
+                pl.BlockSpec((ddp, rp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),        # diag A
+                pl.BlockSpec((rp, dup), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),        # diag B
             ],
             out_specs=[
                 pl.BlockSpec((128, dup), lambda i: (i, 0),
@@ -270,8 +369,8 @@ def _matvec_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
-        )(scale.reshape(1, 1).astype(jnp.float32), v32p, op.hup32p,
-          op.dw_slabs, op.diag32p)
+        )(scale.reshape(1, 1).astype(jnp.float32), v32p, op.dw_hi, op.dw_lo,
+          op.up_hi, op.up_lo, op.diag_a, op.diag_b)
 
 
 def _auto_interpret(interpret: bool) -> bool:
@@ -321,11 +420,17 @@ def from_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
 # --------------------------------------------------------------------------
 def matvec_bs_flat(op: BlockSparseSectorOp, v_flat: jnp.ndarray
                    ) -> jnp.ndarray:
-    """Natural flat f64 matvec through the kernel (mixed-precision contract;
-    per-call boundary cost — use the padded chain for hot loops)."""
+    """Natural flat f64 matvec: f32-true (HIGHEST) XLA matmuls on the
+    natural-order factors + f64 diagonal — the same ~1e-7 mixed-precision
+    contract as the dense backend. This is the GF / generic-solver apply;
+    the split-bf16 kernel (~1.5e-5/matvec, too coarse for continued
+    fractions) serves the ground-state chains, whose Rayleigh-Ritz polish
+    recovers f64."""
     v = v_flat.reshape(op.dim_dw, op.dim_up)
-    y = matvec_bs_padded(op, to_padded(op, v))
-    return from_padded(op, y, v_flat.dtype).reshape(-1)
+    v32 = v.astype(jnp.float32)
+    y32 = jnp.matmul(v32, op.hup32, precision=_HIGHEST) \
+        + jnp.matmul(op.hdw32, v32, precision=_HIGHEST)
+    return (op.diag * v + y32.astype(v.dtype)).reshape(-1)
 
 
 def matvec_bs_exact_flat(op: BlockSparseSectorOp, v_flat: jnp.ndarray

@@ -288,9 +288,12 @@ def lanczos_ground_state(
 
 
 def refine_eigenpairs(op, op_apply: Callable, vecs: jnp.ndarray,
-                      steps: int = 2, sharding=None
+                      steps: int = 2, sharding=None, max_rounds: int = 3
                       ) -> Tuple[np.ndarray, jnp.ndarray]:
-    """f64 Rayleigh-Ritz polish of approximate eigenpairs.
+    """f64 Rayleigh-Ritz polish of approximate eigenpairs (self-tuning:
+    repeats the block-Krylov refinement until the Ritz values stabilize to
+    1e-13 relative or ``max_rounds`` — each round squares the subspace
+    error, so a 1e-5-accurate bf16-chain start reaches f64 in two rounds).
 
     Builds the block Krylov space [V, HV, ..., H^steps V] with the exact
     apply, orthonormalizes it by modified Gram-Schmidt with full
@@ -306,6 +309,20 @@ def refine_eigenpairs(op, op_apply: Callable, vecs: jnp.ndarray,
     with reorthogonalization keeps the projected problem orthonormal to
     machine precision regardless of the basis conditioning.
     """
+    vals_prev = None
+    for _ in range(max_rounds):
+        vals, vecs = _refine_once(op, op_apply, vecs, steps)
+        if vals_prev is not None and np.all(
+                np.abs(vals - vals_prev) <= 1e-13 *
+                np.maximum(np.abs(vals), 1.0)):
+            break
+        vals_prev = vals
+    return vals, vecs
+
+
+def _refine_once(op, op_apply: Callable, vecs: jnp.ndarray, steps: int
+                 ) -> Tuple[np.ndarray, jnp.ndarray]:
+    vecs = jnp.asarray(vecs, jnp.float64)   # f32-chain starts promote here
     k = vecs.shape[0]
     nd = vecs.ndim - 1
     axes = tuple(range(1, nd + 1))
