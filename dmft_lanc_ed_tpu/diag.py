@@ -143,30 +143,33 @@ def _solve_batched_sectors(cfg: EDConfig, table: SectorTable, hloc, bath,
 
 def _blocksparse_ground_state(cfg: EDConfig, op, dim: int, neigen: int,
                               ncv: int):
-    """Ground-state path of the band-sparse fused kernel: the whole Krylov
-    chain runs on permuted padded f32 vectors (one fused kernel per matvec,
-    zero per-step f64 glue or boundary gathers — ops/blocksparse.py), then
-    the f64 Rayleigh-Ritz polish over the natural-order exact factors
-    recovers f64 eigenpairs (the mixed-precision contract)."""
+    """Two-stage ground-state path of the band-sparse fused kernel.
+
+    Stage 1 (bulk): the Krylov chain runs on permuted padded f32 vectors
+    through the split-bf16 kernel (~2e-5 relative matvec noise, one fused
+    kernel per step — ops/blocksparse.py). Stage 2 (top-off): a mixed-
+    precision (f32-true HIGHEST) Lanczos seeded with stage 1's eigenvector
+    plus the f64 Rayleigh-Ritz polish — the same contract as the dense
+    backend. The top-off is necessary, not cosmetic: the polish *squares*
+    the subspace error but cannot improve the subspace across a small
+    spectral gap, so the chain must deliver eta <= 1e-5 and the bf16-split
+    chain alone plateaus at eta ~ 3e-4 (measured on the 854k sector)."""
     from .ops.blocksparse import (from_padded, matvec_bs_exact_flat,
-                                  matvec_bs_padded, to_padded)
-    from .ops.lanczos import refine_eigenpairs
+                                  matvec_bs_flat, matvec_bs_padded,
+                                  to_padded)
     v0n = jax.random.normal(jax.random.PRNGKey(17),
                             (op.dim_dw, op.dim_up), jnp.float64)
     v0 = to_padded(op, v0n / jnp.linalg.norm(v0n))
-    # split-bf16 kernel chains plateau near ~2e-5 relative residuals; the
-    # self-tuning polish below squares the subspace error back to f64
     _, evecs_p = lanczos_ground_state(
         op, matvec_bs_padded, dim, neigen, ncv=ncv,
         tol=max(_lanc_tol(cfg), 5e-5), dtype=jnp.float32, v0=v0,
         vshape=op.padded_shape)
-    vecs_nat = jnp.stack([
-        from_padded(op, jnp.asarray(v).reshape(op.padded_shape),
-                    jnp.float64).reshape(-1) for v in evecs_p])
-    vals, vecs = refine_eigenpairs(op, matvec_bs_exact_flat, vecs_nat)
-    order = np.argsort(vals[:neigen])
-    return (np.asarray(vals[:neigen])[order],
-            np.asarray(vecs).reshape(neigen, -1)[order])
+    seed = from_padded(op, jnp.asarray(evecs_p[0]).reshape(op.padded_shape),
+                       jnp.float64).reshape(-1)
+    return lanczos_ground_state(
+        op, matvec_bs_flat, dim, neigen, ncv=ncv,
+        tol=max(_lanc_tol(cfg), 3e-6), dtype=jnp.float64, v0=seed,
+        polish_apply=matvec_bs_exact_flat)
 
 
 def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,

@@ -207,13 +207,25 @@ class BlockSparseSectorOp:
 
 def blocksparse_applicable(h: SectorHamiltonian) -> bool:
     """Pure-electron sectors without Jx/Jp whose resident blocks (f32 V +
-    split-bf16 banded slabs) fit the VMEM budget and whose diagonal is
-    ACA-separable (it always is for density-density interactions)."""
+    split-bf16 banded slabs, actual RCM band widths) fit the VMEM budget
+    and whose diagonal is ACA-separable (it always is for density-density
+    interactions)."""
     if h.ph_diag is not None or h.nd_up_src is not None:
         return False
     ddp, dup = _pad128(h.dim_dw), _pad128(h.dim_up)
-    # worst case the bands do not help: W = padded dim on both sides
-    resident = 4 * ddp * dup + 2 * 2 * (ddp * dup + dup * dup)
+    if 4 * ddp * dup > VMEM_RESIDENT_BUDGET:
+        return False                      # resident V alone too large
+    # actual banded-slab footprint (RCM + band measurement is ~ms on host)
+    hup = _factor_dense(h.up_cols, h.up_vals, h.dim_up)
+    hdw = _factor_dense(h.dw_cols, h.dw_vals, h.dim_dw)
+    pu, pd = _rcm_perm(hup), _rcm_perm(hdw)
+    hup_p = hup[pu][:, pu]
+    hdw_p = hdw[pd][:, pd]
+    w_up = min((2 * ((_band(hup_p) + 127) // 128) + 1) * 128, dup)
+    w_dw = min((2 * ((_band(hdw_p) + 127) // 128) + 1) * 128, ddp)
+    # resident: f32 V + split-bf16 up slabs; dw slabs stream per panel
+    resident = 4 * ddp * dup + 2 * 2 * (dup // 128) * w_up * 128 \
+        + 2 * 2 * 2 * 128 * w_dw
     if resident > VMEM_RESIDENT_BUDGET:
         return False
     return _aca(np.asarray(h.diag, np.float64)) is not None
