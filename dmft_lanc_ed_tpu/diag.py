@@ -145,27 +145,40 @@ def _blocksparse_ground_state(cfg: EDConfig, op, dim: int, neigen: int,
                               ncv: int):
     """Two-stage ground-state path of the band-sparse fused kernel.
 
-    Stage 1 (bulk): the Krylov chain runs on permuted padded f32 vectors
-    through the split-bf16 kernel (~2e-5 relative matvec noise, one fused
-    kernel per step — ops/blocksparse.py). Stage 2 (top-off): a mixed-
-    precision (f32-true HIGHEST) Lanczos seeded with stage 1's eigenvector
-    plus the f64 Rayleigh-Ritz polish — the same contract as the dense
-    backend. The top-off is necessary, not cosmetic: the polish *squares*
-    the subspace error but cannot improve the subspace across a small
-    spectral gap, so the chain must deliver eta <= 1e-5 and the bf16-split
-    chain alone plateaus at eta ~ 3e-4 (measured on the 854k sector)."""
+    Stage 1 (bulk): when the 2-plane VMEM budget allows, the fused
+    chain-in-kernel path (ops/bs_chain.py): one pallas_call runs the whole
+    Lanczos tridiagonalization with the vector ping-ponging in VMEM, and a
+    second runs a Chebyshev filter bootstrapped from the Ritz bounds to
+    produce the seed vector — per-step HBM traffic is zero. Otherwise the
+    per-call kernel chain under thick-restart Lanczos (one fused kernel
+    launch per step — ops/blocksparse.py). Stage 2 (top-off): a mixed-
+    precision (f32-true HIGHEST) Lanczos seeded with stage 1's vector plus
+    the f64 Rayleigh-Ritz polish — the same contract as the dense backend.
+    The top-off is necessary, not cosmetic: the polish *squares* the
+    subspace error but cannot improve the subspace across a small spectral
+    gap, so stage 1 must deliver a good subspace and the split-bf16 chains
+    plateau around eta ~ 1e-3..3e-4 (measured on the 854k sector)."""
     from .ops.blocksparse import (from_padded, matvec_bs_exact_flat,
                                   matvec_bs_flat, matvec_bs_padded,
                                   to_padded)
-    v0n = jax.random.normal(jax.random.PRNGKey(17),
-                            (op.dim_dw, op.dim_up), jnp.float64)
-    v0 = to_padded(op, v0n / jnp.linalg.norm(v0n))
-    _, evecs_p = lanczos_ground_state(
-        op, matvec_bs_padded, dim, neigen, ncv=ncv,
-        tol=max(_lanc_tol(cfg), 5e-5), dtype=jnp.float32, v0=v0,
-        vshape=op.padded_shape)
-    seed = from_padded(op, jnp.asarray(evecs_p[0]).reshape(op.padded_shape),
-                       jnp.float64).reshape(-1)
+    from .ops.bs_chain import chain_applicable, ground_state_seed
+    if chain_applicable(op):
+        # fused chain-in-kernel stage 1: K Lanczos steps per pallas_call
+        # (per-step HBM -> 0), Chebyshev-filtered seed (ops/bs_chain.py)
+        theta0, seed_nat = ground_state_seed(op, m_tri=96,
+                                             m_cheb=2 * max(ncv, 64))
+        seed = jnp.asarray(seed_nat).reshape(-1)
+    else:
+        v0n = jax.random.normal(jax.random.PRNGKey(17),
+                                (op.dim_dw, op.dim_up), jnp.float64)
+        v0 = to_padded(op, v0n / jnp.linalg.norm(v0n))
+        _, evecs_p = lanczos_ground_state(
+            op, matvec_bs_padded, dim, neigen, ncv=ncv,
+            tol=max(_lanc_tol(cfg), 5e-5), dtype=jnp.float32, v0=v0,
+            vshape=op.padded_shape)
+        seed = from_padded(op,
+                           jnp.asarray(evecs_p[0]).reshape(op.padded_shape),
+                           jnp.float64).reshape(-1)
     return lanczos_ground_state(
         op, matvec_bs_flat, dim, neigen, ncv=ncv,
         tol=max(_lanc_tol(cfg), 3e-6), dtype=jnp.float64, v0=seed,

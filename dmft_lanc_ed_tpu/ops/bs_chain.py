@@ -1,0 +1,469 @@
+"""Fused multi-step Krylov chains for the band-sparse sector kernel.
+
+Round-3 "chain-in-kernel" design: the per-call kernel (ops/blocksparse.py)
+still pays one full HBM round-trip of the sector vector per Lanczos step
+(~13 MB/step on the 854k bench sector). Here K steps run inside ONE
+``pallas_call``: the chain state ping-pongs between the two planes of a
+single VMEM scratch buffer, both banded factor slab stacks stay resident,
+and the only HBM traffic of the whole chain is the one-time DMA of the
+start vector (in) and the filtered vector (out). Per-step HBM -> 0; the
+chain becomes MXU-bound.
+
+Two kernels, sharing one panel-apply helper (bitwise-identical H):
+
+- :func:`tridiag_chain` — K plain-Lanczos steps (the reference's
+  ``lanczos_iteration_d`` 3-term recurrence, ED_GF_NORMAL.f90:633-637 /
+  SF_SP_LINALG ``sp_lanc_tridiag``), emitting the (alpha, beta) tridiagonal.
+  Each step is two passes over the row panels: pass 0 computes
+  w = H v_k - beta_k v_{k-1} and the global <v_k, w>; pass 1 orthogonalizes
+  against v_k and accumulates ||w'||. Normalization is LAZY: vectors are
+  stored unnormalized and their inverse norms ride in SMEM, applied as
+  scalars on read — no extra VMEM pass.
+
+- :func:`cheb_chain` — K scaled-Chebyshev filter steps
+  v_{k+1} = (2/e)(H - c) v_k - v_{k-1} (T_1 uses 1/e), single pass per
+  step (no dots), with the same lazy-normalization trick keeping every
+  stored amplitude at ||.|| ~ 1 so f32 never overflows. This produces the
+  ground-state SEED vector without the second ("rebuild") Lanczos pass —
+  the textbook two-pass vector reconstruction would need a third resident
+  vector plane that does not fit VMEM; a Chebyshev filter bootstrapped from
+  the tridiagonal's Ritz bounds delivers the same seed quality with the
+  memory footprint of pass one.
+
+:func:`ground_state_seed` glues them: tridiag chain -> host eigh of the
+tridiagonal (Ritz bounds [theta_0, theta_max] + top-end residual safety
+margin) -> Chebyshev filter damping [cut, b] -> normalized seed. The
+two-stage solver (diag._blocksparse_ground_state) then tops off with the
+mixed-precision Lanczos + f64 Rayleigh-Ritz polish exactly as before.
+
+VMEM budget: 2 f32 vector planes (8 MB on the 1024x1024-padded bench
+sector) + both split-bf16 slab stacks (~5.3 MB) + temporaries. The dw
+window contraction is tiled 128 columns at a time so cast temporaries stay
+at one panel's footprint. :func:`chain_applicable` gates on the actual
+numbers.
+
+Mosaic rules honored (see .claude/skills/verify): x64 disabled around
+every pallas_call; dynamic slice starts multiplied by 128 LAST; SMEM
+outputs are full-array blocks indexed by program_id; dot precision only
+DEFAULT/HIGHEST (the 3-pass split-bf16 product is built manually).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blocksparse import (BlockSparseSectorOp, _auto_interpret, _dot3,
+                          from_padded, to_padded)
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+# VMEM gate for the 2-resident-plane chain kernels (v5e ~16 MB/core).
+CHAIN_VMEM_BUDGET = int(13.6 * 1024 * 1024)
+CHAIN_VMEM_LIMIT = 15 * 1024 * 1024
+# chain-length buckets (static kernel parameter -> one executable each)
+_K_BUCKETS = (16, 32, 64, 96, 128, 192, 256)
+
+# SMEM state slots
+_DOT, _SS, _SPRV, _SCUR, _BETA, _ALPHA = range(6)
+
+
+def _bucket_k(k: int) -> int:
+    for b in _K_BUCKETS:
+        if k <= b:
+            return b
+    return _K_BUCKETS[-1]
+
+
+def chain_applicable(op: BlockSparseSectorOp) -> bool:
+    """True when two f32 vector planes + both resident slab stacks fit."""
+    ddp, dup = op.padded_shape
+    ntd, ntu = ddp // 128, dup // 128
+    resident = (2 * 4 * ddp * dup                      # ping-pong planes
+                + 2 * 2 * ntu * op.w_up * 128          # up slabs hi+lo
+                + 2 * 2 * ntd * 128 * op.w_dw          # dw slabs hi+lo
+                + 4 * (ddp + dup) * op.diag_a.shape[1])
+    return resident <= CHAIN_VMEM_BUDGET
+
+
+# --------------------------------------------------------------------------
+# shared panel apply: y = (H_p u_cur)_i  on the permuted padded grid
+# --------------------------------------------------------------------------
+def _hv_panel(vbuf, cur, i, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
+              a_ref, b_ref, *, d_dw: int, w_dw: int, ddp: int,
+              d_up: int, w_up: int, dup: int):
+    """Panel i of H_p @ u_cur (true factor values, f32 accumulation).
+
+    Returns (y_panel [128, dup], u_cur panel [128, dup]). The dw window
+    contraction is tiled 128 rows at a time so the bf16 cast temporaries
+    never exceed one panel. All dynamic starts multiply by 128 LAST.
+    """
+    base_t = jnp.minimum(jnp.maximum(i - d_dw, 0), (ddp - w_dw) // 128)
+    v_blk = vbuf[cur, pl.ds(i * 128, 128), :]
+    vb_hi = v_blk.astype(jnp.bfloat16)
+    vb_lo = (v_blk - vb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # separable diagonal: diag_panel = A[i*128:(i+1)*128] @ B
+    diag_panel = jnp.dot(a_ref[pl.ds(i * 128, 128), :], b_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=_HIGHEST)
+    acc = diag_panel * v_blk
+
+    # dw hops: banded row slab x window of u_cur rows, tiled by 128
+    for wt in range(w_dw // 128):
+        wrow = vbuf[cur, pl.ds((base_t + wt) * 128, 128), :]
+        w_hi = wrow.astype(jnp.bfloat16)
+        w_lo = (wrow - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = acc + _dot3(
+            dwhi_ref[pl.ds(i * 128, 128), wt * 128:(wt + 1) * 128],
+            dwlo_ref[pl.ds(i * 128, 128), wt * 128:(wt + 1) * 128],
+            w_hi, w_lo)
+
+    # up hops: per column panel, lane window of this row panel x column slab
+    ntu = dup // 128
+    up_parts = []
+    for j in range(ntu):
+        s = min(max((j - d_up) * 128, 0), dup - w_up)
+        up_parts.append(_dot3(vb_hi[:, s:s + w_up], vb_lo[:, s:s + w_up],
+                              uphi_ref[j], uplo_ref[j]))
+    acc = acc + (up_parts[0] if ntu == 1
+                 else jnp.concatenate(up_parts, axis=1))
+    return acc, v_blk
+
+
+def _chain_specs(op: BlockSparseSectorOp, ddp: int, dup: int):
+    """Input specs shared by both chain kernels (v0 + resident factors)."""
+    ntu = dup // 128
+    rp = op.diag_a.shape[1]
+    return [
+        pl.BlockSpec(memory_space=pl.ANY),                    # v0 (DMA'd)
+        pl.BlockSpec((ddp, op.w_dw), lambda *_: (0, 0),
+                     memory_space=pltpu.VMEM),                # dw hi (2D)
+        pl.BlockSpec((ddp, op.w_dw), lambda *_: (0, 0),
+                     memory_space=pltpu.VMEM),                # dw lo
+        pl.BlockSpec((ntu, op.w_up, 128), lambda *_: (0, 0, 0),
+                     memory_space=pltpu.VMEM),                # up hi
+        pl.BlockSpec((ntu, op.w_up, 128), lambda *_: (0, 0, 0),
+                     memory_space=pltpu.VMEM),                # up lo
+        pl.BlockSpec((ddp, rp), lambda *_: (0, 0),
+                     memory_space=pltpu.VMEM),                # diag A
+        pl.BlockSpec((rp, dup), lambda *_: (0, 0),
+                     memory_space=pltpu.VMEM),                # diag B
+    ]
+
+
+def _chain_inputs(op: BlockSparseSectorOp, v32p: jnp.ndarray):
+    ddp, dup = op.padded_shape
+    ntd = ddp // 128
+    return (v32p,
+            op.dw_hi.reshape(ntd * 128, op.w_dw),
+            op.dw_lo.reshape(ntd * 128, op.w_dw),
+            op.up_hi, op.up_lo, op.diag_a, op.diag_b)
+
+
+# --------------------------------------------------------------------------
+# kernel 1: K-step Lanczos tridiagonalization
+# --------------------------------------------------------------------------
+def _tridiag_kernel(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
+                    a_ref, b_ref, alphas_ref, betas_ref,
+                    vbuf, st, sem, *, kk: int, d_dw: int, w_dw: int,
+                    ddp: int, d_up: int, w_up: int, dup: int):
+    k = pl.program_id(0)
+    ph = pl.program_id(1)
+    i = pl.program_id(2)
+    ntd = ddp // 128
+    cur = jax.lax.rem(k, 2)
+    prv = 1 - cur
+
+    @pl.when((k == 0) & (ph == 0) & (i == 0))
+    def _():
+        dma = pltpu.make_async_copy(v0_ref, vbuf.at[0], sem)
+        dma.start()
+        dma.wait()
+        st[_DOT] = 0.0
+        st[_SS] = 0.0
+        st[_SPRV] = 0.0
+        st[_SCUR] = 1.0
+        st[_BETA] = 0.0
+
+    @pl.when(ph == 0)
+    def _():
+        hv, v_blk = _hv_panel(vbuf, cur, i, dwhi_ref, dwlo_ref, uphi_ref,
+                              uplo_ref, a_ref, b_ref, d_dw=d_dw, w_dw=w_dw,
+                              ddp=ddp, d_up=d_up, w_up=w_up, dup=dup)
+        y = st[_SCUR] * hv
+        st[_DOT] += jnp.sum(v_blk * y)
+
+        @pl.when(k > 0)
+        def _():
+            coup = st[_BETA] * st[_SPRV]
+            vbuf[prv, pl.ds(i * 128, 128), :] = \
+                y - coup * vbuf[prv, pl.ds(i * 128, 128), :]
+
+        @pl.when(k == 0)
+        def _():
+            vbuf[prv, pl.ds(i * 128, 128), :] = y
+
+    @pl.when(ph == 1)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            st[_ALPHA] = st[_SCUR] * st[_DOT]
+            alphas_ref[k, 0] = st[_ALPHA]
+            st[_DOT] = 0.0
+        co = st[_ALPHA] * st[_SCUR]
+        w = vbuf[prv, pl.ds(i * 128, 128), :] \
+            - co * vbuf[cur, pl.ds(i * 128, 128), :]
+        vbuf[prv, pl.ds(i * 128, 128), :] = w
+        st[_SS] += jnp.sum(w * w)
+
+        @pl.when(i == ntd - 1)
+        def _():
+            beta = jnp.sqrt(st[_SS])
+            betas_ref[k, 0] = beta
+            st[_SPRV] = st[_SCUR]
+            st[_SCUR] = jnp.where(beta > 1e-30, 1.0 / beta, 0.0)
+            st[_BETA] = beta
+            st[_SS] = 0.0
+
+
+@partial(jax.jit, static_argnames=("kk", "interpret"))
+def _tridiag_call(op: BlockSparseSectorOp, v32p: jnp.ndarray, kk: int,
+                  interpret: bool = False):
+    with jax.enable_x64(False):
+        ddp, dup = v32p.shape
+        ntd = ddp // 128
+        kern = partial(_tridiag_kernel, kk=kk, d_dw=op.d_dw, w_dw=op.w_dw,
+                       ddp=ddp, d_up=op.d_up, w_up=op.w_up, dup=dup)
+        return pl.pallas_call(
+            kern,
+            grid=(kk, 2, ntd),
+            in_specs=_chain_specs(op, ddp, dup),
+            out_specs=[
+                pl.BlockSpec((kk, 1), lambda *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((kk, 1), lambda *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((kk, 1), jnp.float32),
+                jax.ShapeDtypeStruct((kk, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, ddp, dup), jnp.float32),
+                pltpu.SMEM((8,), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=CHAIN_VMEM_LIMIT),
+            interpret=interpret,
+        )(*_chain_inputs(op, v32p))
+
+
+def tridiag_chain(op: BlockSparseSectorOp, v32p: jnp.ndarray, m: int,
+                  interpret: bool = False
+                  ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """m-step fused Lanczos tridiagonalization from a normalized padded v0.
+
+    Returns (alphas[m], betas[m], beta_out) — (alphas, betas) in the
+    lanczos_tridiag layout (betas[0]=0, betas[j] couples steps j-1 <-> j)
+    and beta_out the coupling out of the last vector (the Ritz residual
+    scale). One kernel launch (K bucketed up).
+    """
+    kk = _bucket_k(m)
+    al, be = _tridiag_call(op, v32p, kk, interpret=_auto_interpret(interpret))
+    al = np.asarray(al).ravel()[:m].astype(np.float64)
+    be_raw = np.asarray(be).ravel()[:m].astype(np.float64)
+    betas = np.concatenate([[0.0], be_raw[:m - 1]])
+    return al, betas, float(be_raw[m - 1])
+
+
+# --------------------------------------------------------------------------
+# kernel 2: K-step scaled Chebyshev filter
+# --------------------------------------------------------------------------
+def _cheb_kernel(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
+                 a_ref, b_ref, ce_ref, vout_ref, ssout_ref,
+                 vbuf, st, sem, sem2, *, kk: int, d_dw: int, w_dw: int,
+                 ddp: int, d_up: int, w_up: int, dup: int):
+    k = pl.program_id(0)
+    i = pl.program_id(1)
+    ntd = ddp // 128
+    cur = jax.lax.rem(k, 2)
+    prv = 1 - cur
+
+    @pl.when((k == 0) & (i == 0))
+    def _():
+        dma = pltpu.make_async_copy(v0_ref, vbuf.at[0], sem)
+        dma.start()
+        dma.wait()
+        st[_SS] = 0.0
+        st[_SPRV] = 0.0
+        st[_SCUR] = 1.0
+
+    hv, v_blk = _hv_panel(vbuf, cur, i, dwhi_ref, dwlo_ref, uphi_ref,
+                          uplo_ref, a_ref, b_ref, d_dw=d_dw, w_dw=w_dw,
+                          ddp=ddp, d_up=d_up, w_up=w_up, dup=dup)
+    c = ce_ref[0, 0]
+    inv_e = ce_ref[1, 0]
+    fac = jnp.where(k == 0, inv_e, 2.0 * inv_e) * st[_SCUR]
+    r0 = fac * (hv - c * v_blk)
+
+    @pl.when(k > 0)
+    def _():
+        # t_{k+1} = (2/e)(H-c)t_k - t_{k-1} with raw (unnormalized) stored
+        # vectors u_k = t_k * (a_{k-1}.../..): the u_{k-1} coefficient is
+        # 1/(beta_k beta_{k-1}) = s_cur * s_prv (see module docstring)
+        r = r0 - (st[_SCUR] * st[_SPRV]) * vbuf[prv, pl.ds(i * 128, 128), :]
+        vbuf[prv, pl.ds(i * 128, 128), :] = r
+        st[_SS] += jnp.sum(r * r)
+
+    @pl.when(k == 0)
+    def _():
+        vbuf[prv, pl.ds(i * 128, 128), :] = r0
+        st[_SS] += jnp.sum(r0 * r0)
+
+    @pl.when(i == ntd - 1)
+    def _():
+        nrm = jnp.sqrt(st[_SS])
+        st[_SPRV] = st[_SCUR]
+        st[_SCUR] = jnp.where(nrm > 1e-30, 1.0 / nrm, 0.0)
+        st[_SS] = 0.0
+
+        @pl.when(k == kk - 1)
+        def _():
+            ssout_ref[0, 0] = nrm
+            dma2 = pltpu.make_async_copy(vbuf.at[prv], vout_ref, sem2)
+            dma2.start()
+            dma2.wait()
+
+
+@partial(jax.jit, static_argnames=("kk", "interpret"))
+def _cheb_call(op: BlockSparseSectorOp, v32p: jnp.ndarray, ce: jnp.ndarray,
+               kk: int, interpret: bool = False):
+    with jax.enable_x64(False):
+        ddp, dup = v32p.shape
+        ntd = ddp // 128
+        kern = partial(_cheb_kernel, kk=kk, d_dw=op.d_dw, w_dw=op.w_dw,
+                       ddp=ddp, d_up=op.d_up, w_up=op.w_up, dup=dup)
+        return pl.pallas_call(
+            kern,
+            grid=(kk, ntd),
+            in_specs=_chain_specs(op, ddp, dup) + [
+                pl.BlockSpec((2, 1), lambda *_: (0, 0),
+                             memory_space=pltpu.SMEM),        # (c, 1/e)
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),            # v filtered
+                pl.BlockSpec((1, 1), lambda *_: (0, 0),
+                             memory_space=pltpu.SMEM),        # its norm
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((ddp, dup), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, ddp, dup), jnp.float32),
+                pltpu.SMEM((8,), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=CHAIN_VMEM_LIMIT),
+            interpret=interpret,
+        )(*_chain_inputs(op, v32p), ce)
+
+
+def cheb_chain(op: BlockSparseSectorOp, v32p: jnp.ndarray, m: int,
+               c: float, e: float, interpret: bool = False) -> jnp.ndarray:
+    """m-step scaled Chebyshev filter T_m((H - c)/e) v, normalized output.
+
+    Eigencomponents inside [c-e, c+e] are damped to <= 1; components below
+    c-e are amplified by cosh(m acosh((c-lam)/e + ...)) — the ground state
+    dominates the output after ~tens of steps.
+    """
+    kk = _bucket_k(m)
+    ce = jnp.asarray(np.array([[c], [1.0 / e]], np.float32))
+    v, nrm = _cheb_call(op, v32p, ce, kk, interpret=_auto_interpret(interpret))
+    return v / jnp.maximum(nrm[0, 0], 1e-30)
+
+
+# --------------------------------------------------------------------------
+# glue: fused-chain ground-state seed
+# --------------------------------------------------------------------------
+def _ritz_bounds(op, v0, m_tri, interpret):
+    """One fused tridiag chain -> (theta ascending, b_safe, resid_gs)."""
+    alphas, betas, beta_out = tridiag_chain(op, v0, m_tri,
+                                            interpret=interpret)
+    m_eff = m_tri
+    for j in range(1, m_tri):
+        if betas[j] <= 1e-20:          # invariant subspace exhausted
+            m_eff = j
+            beta_out = 0.0
+            break
+    t = np.diag(alphas[:m_eff]) + np.diag(betas[1:m_eff], 1) \
+        + np.diag(betas[1:m_eff], -1)
+    theta, s = np.linalg.eigh(t)
+    span = max(float(theta[-1] - theta[0]), 1e-12)
+    # the top Ritz value underestimates lambda_max; pad by its residual
+    # (|beta_out * last row of top eigvec|) so the filter interval truly
+    # covers the spectrum — components above b would be amplified
+    resid_top = abs(beta_out * float(s[m_eff - 1, -1]))
+    b_safe = float(theta[-1]) + 4.0 * resid_top + 1e-3 * span
+    # |<v_start, ritz_0>| = |s[0,0]|: how much of the chain START vector
+    # already lies along the lowest Ritz direction — the seed-quality
+    # measure (the Ritz residual itself converges even from a random start)
+    s00 = abs(float(s[0, 0]))
+    return theta, b_safe, s00
+
+
+def ground_state_seed(op: BlockSparseSectorOp, m_tri: int = 96,
+                      m_cheb: int = 128, seed: int = 17,
+                      interpret: bool = False,
+                      v0: Optional[jnp.ndarray] = None,
+                      max_rounds: int = 3, eta_target: float = 3e-3
+                      ) -> Tuple[float, jnp.ndarray]:
+    """Ground-state seed via fused tridiag chains + Chebyshev filters.
+
+    Iterates (tridiag chain -> Ritz bounds -> filter) until the current
+    vector's overlap with the lowest Ritz direction reaches
+    1 - eta_target^2 (or ``max_rounds``). The damping cut sits strictly inside the (theta_0,
+    theta_1) Ritz gap so the first excited state is never amplified, and
+    the upper bound b is taken from the FIRST round (a random start sees
+    the top of the spectrum; filtered starts do not — re-estimating b from
+    them would underestimate lambda_max and blow up the filter).
+
+    Returns (theta_min estimate, normalized seed vector in the natural
+    [dim_dw, dim_up] f64 layout). The pad subspace starts exactly zero and
+    stays exactly zero (zero factor rows, to_padded zero-fill), so the
+    PAD_SHIFT diagonal never enters the bounds.
+    """
+    if v0 is None:
+        v0n = jax.random.normal(jax.random.PRNGKey(seed),
+                                (op.dim_dw, op.dim_up), jnp.float64)
+        v0 = to_padded(op, v0n / jnp.linalg.norm(v0n))
+    v = v0
+    b_global = None
+    theta = None
+    for _ in range(max_rounds):
+        theta, b_safe, s00 = _ritz_bounds(op, v, m_tri, interpret)
+        b_global = b_safe if b_global is None else max(b_global, b_safe)
+        if 1.0 - s00 * s00 <= eta_target * eta_target:
+            break
+        span = max(b_global - float(theta[0]), 1e-12)
+        # first Ritz value distinct from theta_0 (degenerate ground states
+        # collapse onto theta_0; the filter then targets the subspace)
+        distinct = theta[theta > theta[0] + 1e-9 * span]
+        gap = float(distinct[0] - theta[0]) if distinct.size \
+            else 0.02 * span
+        cut = float(theta[0]) + 0.35 * gap
+        c = 0.5 * (b_global + cut)
+        e = max(0.5 * (b_global - cut), 1e-12 * span)
+        v = cheb_chain(op, v, m_cheb, c, e, interpret=interpret)
+    vnat = from_padded(op, v, jnp.float64)
+    vnat = vnat / jnp.linalg.norm(vnat)
+    return float(theta[0]), vnat
