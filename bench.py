@@ -276,15 +276,22 @@ def phase_dense(out_path: str, e_ref):
 
 
 def phase_pallas(out_path: str, e_ref):
-    """Band-sparse fused kernel: chain timing + accuracy gate (the gate
-    runs the PRODUCTION kernel path — f32 padded Krylov chain through the
-    split-bf16 kernel + self-tuning f64 Rayleigh-Ritz polish)."""
+    """Band-sparse fused kernels: chain timings + accuracy gate (the gate
+    runs the PRODUCTION kernel path — fused chain-in-kernel stage 1 +
+    mixed top-off + self-tuning f64 Rayleigh-Ritz polish).
+
+    Two timings: "pallas" is the fused chain-in-kernel Lanczos
+    tridiagonalization (ops/bs_chain.py — K steps per pallas_call, chain
+    state resident in VMEM, per-step HBM = 0; slope between two K values
+    cancels the dispatch), "pallas_call" the per-call kernel chain
+    (ops/blocksparse.py — one launch per step, V streamed each call)."""
     jax, jnp, sec, h = _setup()
     from dmft_lanc_ed_tpu.diag import _blocksparse_ground_state
     from dmft_lanc_ed_tpu.config import EDConfig
     from dmft_lanc_ed_tpu.ops.blocksparse import (blocksparse_applicable,
                                                   build_blocksparse_op,
                                                   chain_step, to_padded)
+    from dmft_lanc_ed_tpu.ops.bs_chain import tridiag_call, chain_applicable
     frag = _Frag(out_path)
     if not blocksparse_applicable(h):
         log("blocksparse not applicable to the bench sector")
@@ -295,7 +302,24 @@ def phase_pallas(out_path: str, e_ref):
     v = jax.random.normal(jax.random.PRNGKey(0), (sec.dim_dw, sec.dim_up),
                           jnp.float64)
     vp = to_padded(op, v / jnp.linalg.norm(v))
-    frag.time("pallas",
+
+    if chain_applicable(op):
+        k_lo, k_hi = 64, 256
+
+        def run_tri(kk):
+            jax.block_until_ready(tridiag_call(op, vp, kk))
+        t = {}
+        for kk in (k_lo, k_hi):
+            run_tri(kk)
+            best = 1e30
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_tri(kk)
+                best = min(best, time.perf_counter() - t0)
+            t[kk] = best
+        frag.time("pallas", (t[k_hi] - t[k_lo]) / (k_hi - k_lo), h.nnz)
+
+    frag.time("pallas_call",
               bench_chain_fused(jax, jnp,
                                 lambda w, r: chain_step(op, w, r), vp),
               h.nnz)
@@ -303,7 +327,9 @@ def phase_pallas(out_path: str, e_ref):
         return
     cfg = EDConfig(norb=NORB, nbath=NBATH, uloc=(2.0,), ed_dtype="float64")
     e, _ = _blocksparse_ground_state(cfg, op, sec.dim, 1, ncv=48)
-    frag.gate("pallas", float(e[0]), e_ref)
+    err = float(e[0])
+    frag.gate("pallas", err, e_ref)
+    frag.gate("pallas_call", err, e_ref)
 
 
 # --------------------------------------------------------------------------

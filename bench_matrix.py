@@ -27,6 +27,14 @@ def log(*a):
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "BENCH_MATRIX.json")
+# backend override for A/B loop comparisons (ROUND3 item: drive a full DMFT
+# loop with ed_backend=pallas and compare phase times vs the dense default);
+# results record under "<config>_<backend>" when set
+ED_BACKEND = os.environ.get("BENCH_ED_BACKEND", "")
+
+
+def _cfg_kw():
+    return {"ed_backend": ED_BACKEND} if ED_BACKEND else {}
 
 
 def record(name, entry):
@@ -76,7 +84,8 @@ def bench_bethe(nbath):
     from dmft_lanc_ed_tpu.solver import EDSolver
 
     cfg = EDConfig(norb=1, nbath=nbath, uloc=(2.0,), beta=100.0,
-                   lmats=1024, lfit=256, lreal=64, cg_scheme="weiss")
+                   lmats=1024, lfit=256, lreal=64, cg_scheme="weiss",
+                   **_cfg_kw())
     ebands, dbands, h0 = bethe_bands(1, 1.0)
     hloc = np.zeros((1, 1, 1, 1))
 
@@ -97,7 +106,7 @@ def bench_hund2b():
 
     cfg = EDConfig(norb=2, nspin=1, nbath=2, uloc=(2.0, 2.0), ust=1.2,
                    jh=0.4, jx=0.4, jp=0.4, beta=100.0, lmats=1024,
-                   lfit=256, lreal=64, cg_scheme="weiss")
+                   lfit=256, lreal=64, cg_scheme="weiss", **_cfg_kw())
     hk = hk_square(16, 2, t=0.25)
     hloc = hloc_from_hk(hk, 1, 2)
 
@@ -120,7 +129,7 @@ def bench_bhz_replica():
     cfg = EDConfig(norb=2, nspin=2, nbath=4, uloc=(2.0, 2.0), ust=1.0,
                    beta=100.0, lmats=1024, lfit=256, lreal=64,
                    bath_type="replica", cg_scheme="weiss",
-                   lanc_dim_threshold=2048)
+                   lanc_dim_threshold=2048, **_cfg_kw())
     hk = hk_bhz_2d(16, m0=1.0, lam=0.3, t=0.5)
     hloc = hloc_from_hk(hk, 2, 2)
     h_basis, lam_imp = decompose_hloc(cfg, hloc)
@@ -161,8 +170,10 @@ def run_one(name):
     t0 = time.perf_counter()
     entry = BENCHES[name]()
     entry["platform"] = dev.platform
+    if ED_BACKEND:
+        entry["ed_backend"] = ED_BACKEND
     entry["bench_wall_s"] = round(time.perf_counter() - t0, 1)
-    record(name, entry)
+    record(name + ("_" + ED_BACKEND if ED_BACKEND else ""), entry)
 
 
 def main():

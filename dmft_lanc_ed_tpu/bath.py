@@ -19,7 +19,6 @@ from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .config import EDConfig
@@ -34,11 +33,16 @@ class Bath:
     - v: [nspin, norb, nbath] hybridization amplitudes
     - lam: [nbath, nsym] replica symmetry-basis coefficients (replica only)
     - v_rep: [nbath, nspin] replica hybridizations (replica only)
+
+    Host numpy on the user/solver path (these arrays are tiny and every
+    device round-trip is a fresh transfer through the TPU tunnel); the
+    chi2 fit builds tracer-valued instances for jax.grad (fit.py), which
+    the dataclass holds untouched.
     """
-    e: Optional[jnp.ndarray] = None
-    v: Optional[jnp.ndarray] = None
-    lam: Optional[jnp.ndarray] = None
-    v_rep: Optional[jnp.ndarray] = None
+    e: Optional[np.ndarray] = None
+    v: Optional[np.ndarray] = None
+    lam: Optional[np.ndarray] = None
+    v_rep: Optional[np.ndarray] = None
 
 
 # --------------------------------------------------------------------------
@@ -85,7 +89,7 @@ def init_bath(cfg: EDConfig, lambda_imp: Optional[np.ndarray] = None,
         norb_e = norb if cfg.bath_type == "normal" else 1
         e = np.broadcast_to(e1, (nspin, norb_e, nb)).copy()
         v = np.full((nspin, norb, nb), max(0.1, 1.0 / np.sqrt(nb)))
-        return Bath(e=jnp.asarray(e), v=jnp.asarray(v))
+        return Bath(e=np.asarray(e), v=np.asarray(v))
     # replica
     if lambda_imp is None or h_basis is None:
         raise ValueError("replica init requires lambda_imp and h_basis")
@@ -105,7 +109,7 @@ def init_bath(cfg: EDConfig, lambda_imp: Optional[np.ndarray] = None,
             else:
                 lam[ib, isym] = lambda_imp[isym]
     v_rep = np.full((nb, nspin), max(0.1, 1.0 / np.sqrt(nb)))
-    return Bath(lam=jnp.asarray(lam), v_rep=jnp.asarray(v_rep))
+    return Bath(lam=np.asarray(lam), v_rep=np.asarray(v_rep))
 
 
 def _to_so(h_nn: np.ndarray, cfg: EDConfig) -> np.ndarray:
@@ -149,12 +153,12 @@ def unpack_bath(cfg: EDConfig, arr: np.ndarray, nsym: Optional[int] = None) -> B
         n = nspin * norb * nb
         e = arr[:n].reshape(nspin, norb, nb)
         v = arr[n:2 * n].reshape(nspin, norb, nb)
-        return Bath(e=jnp.asarray(e), v=jnp.asarray(v))
+        return Bath(e=np.asarray(e), v=np.asarray(v))
     if cfg.bath_type == "hybrid":
         ne = nspin * nb
         e = arr[:ne].reshape(nspin, 1, nb)
         v = arr[ne:ne + nspin * norb * nb].reshape(nspin, norb, nb)
-        return Bath(e=jnp.asarray(e), v=jnp.asarray(v))
+        return Bath(e=np.asarray(e), v=np.asarray(v))
     # replica
     ndec = int(round(arr[0]))
     if nsym is not None and nsym != ndec:
@@ -167,7 +171,7 @@ def unpack_bath(cfg: EDConfig, arr: np.ndarray, nsym: Optional[int] = None) -> B
         stride += nspin
         lam[ib] = arr[stride:stride + ndec]
         stride += ndec
-    return Bath(lam=jnp.asarray(lam), v_rep=jnp.asarray(v))
+    return Bath(lam=np.asarray(lam), v_rep=np.asarray(v))
 
 
 # --------------------------------------------------------------------------
@@ -181,7 +185,7 @@ def break_symmetry_bath(cfg: EDConfig, arr: np.ndarray, field: float,
     e[0] += sign * field
     if cfg.nspin == 2:
         e[1] -= sign * field
-    return pack_bath(cfg, Bath(e=jnp.asarray(e), v=bath.v))
+    return pack_bath(cfg, Bath(e=np.asarray(e), v=bath.v))
 
 
 def spin_symmetrize_bath(cfg: EDConfig, arr: np.ndarray) -> np.ndarray:
@@ -192,7 +196,7 @@ def spin_symmetrize_bath(cfg: EDConfig, arr: np.ndarray) -> np.ndarray:
     v = np.asarray(bath.v).copy()
     e[1] = e[0]
     v[1] = v[0]
-    return pack_bath(cfg, Bath(e=jnp.asarray(e), v=jnp.asarray(v)))
+    return pack_bath(cfg, Bath(e=np.asarray(e), v=np.asarray(v)))
 
 
 def orb_symmetrize_bath(cfg: EDConfig, arr: np.ndarray) -> np.ndarray:
@@ -202,7 +206,7 @@ def orb_symmetrize_bath(cfg: EDConfig, arr: np.ndarray) -> np.ndarray:
     v = np.asarray(bath.v)
     e = np.broadcast_to(e.mean(axis=1, keepdims=True), e.shape).copy()
     v = np.broadcast_to(v.mean(axis=1, keepdims=True), v.shape).copy()
-    return pack_bath(cfg, Bath(e=jnp.asarray(e), v=jnp.asarray(v)))
+    return pack_bath(cfg, Bath(e=np.asarray(e), v=np.asarray(v)))
 
 
 def orb_equality_bath(cfg: EDConfig, arr: np.ndarray, iorb: int = 0) -> np.ndarray:
@@ -213,7 +217,7 @@ def orb_equality_bath(cfg: EDConfig, arr: np.ndarray, iorb: int = 0) -> np.ndarr
     if cfg.bath_type == "normal":
         e[:] = e[:, iorb:iorb + 1, :]
     v[:] = v[:, iorb:iorb + 1, :]
-    return pack_bath(cfg, Bath(e=jnp.asarray(e), v=jnp.asarray(v)))
+    return pack_bath(cfg, Bath(e=np.asarray(e), v=np.asarray(v)))
 
 
 def ph_symmetrize_bath(cfg: EDConfig, arr: np.ndarray) -> np.ndarray:
@@ -227,7 +231,7 @@ def ph_symmetrize_bath(cfg: EDConfig, arr: np.ndarray) -> np.ndarray:
         v[..., nb - 1 - i] = v[..., i]
     if nb % 2 == 1:
         e[..., nb // 2] = 0.0
-    return pack_bath(cfg, Bath(e=jnp.asarray(e), v=jnp.asarray(v)))
+    return pack_bath(cfg, Bath(e=np.asarray(e), v=np.asarray(v)))
 
 
 # --------------------------------------------------------------------------
@@ -266,7 +270,7 @@ def ph_trans_bath(cfg: EDConfig, arr: np.ndarray) -> np.ndarray:
     bath = unpack_bath(cfg, arr)
     e = -np.asarray(bath.e)[..., ::-1].copy()
     v = np.asarray(bath.v)[..., ::-1].copy()
-    return pack_bath(cfg, Bath(e=jnp.asarray(e), v=jnp.asarray(v)))
+    return pack_bath(cfg, Bath(e=np.asarray(e), v=np.asarray(v)))
 
 
 def get_bath_component(cfg: EDConfig, arr: np.ndarray, itype: str
@@ -293,7 +297,7 @@ def set_bath_component(cfg: EDConfig, arr: np.ndarray, itype: str,
         v[:] = value
     else:
         raise ValueError("itype must be 'e' or 'v'")
-    return pack_bath(cfg, Bath(e=jnp.asarray(e), v=jnp.asarray(v)))
+    return pack_bath(cfg, Bath(e=np.asarray(e), v=np.asarray(v)))
 
 
 def copy_bath_component(cfg: EDConfig, arr_from: np.ndarray,

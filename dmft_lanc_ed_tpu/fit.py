@@ -108,7 +108,7 @@ def chi2_fitgf(cfg: EDConfig, target: np.ndarray, bath_array: np.ndarray,
                 fit_log.append((f"_orb{a + 1}_s{s + 1}{suffix}", chi, nit))
                 e[s, a] = theta[:cfg.nbath]
                 v[s, a] = np.abs(theta[cfg.nbath:])
-        new_bath = Bath(e=jnp.asarray(e), v=jnp.asarray(v))
+        new_bath = Bath(e=e, v=v)
 
     elif cfg.bath_type == "hybrid":
         e = np.asarray(bath.e).copy()
@@ -135,7 +135,7 @@ def chi2_fitgf(cfg: EDConfig, target: np.ndarray, bath_array: np.ndarray,
             fit_log.append((f"_ALLorb_s{s + 1}{suffix}", chi, nit))
             e[s, 0] = theta[:nb]
             v[s] = np.abs(theta[nb:].reshape(no, nb))
-        new_bath = Bath(e=jnp.asarray(e), v=jnp.asarray(v))
+        new_bath = Bath(e=e, v=v)
 
     else:  # replica
         nb = cfg.nbath
@@ -157,7 +157,7 @@ def chi2_fitgf(cfg: EDConfig, target: np.ndarray, bath_array: np.ndarray,
         fit_log.append((suffix, chi, nit))
         v_r = np.abs(theta[:nb * cfg.nspin].reshape(nb, cfg.nspin))
         lam = theta[nb * cfg.nspin:].reshape(nb, nsym)
-        new_bath = Bath(lam=jnp.asarray(lam), v_rep=jnp.asarray(v_r))
+        new_bath = Bath(lam=lam, v_rep=v_r)
 
     if outdir is not None:
         for file_sfx, chi, nit in fit_log:

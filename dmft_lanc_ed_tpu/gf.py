@@ -48,12 +48,17 @@ class GFPoles:
         self.poles = np.concatenate([self.poles, p])
 
     def __call__(self, z: np.ndarray) -> np.ndarray:
+        # Host numpy on purpose: pole arrays are tiny and every distinct
+        # pole count is a fresh shape — routing this through the device
+        # means a recompile + transfer per sector/channel (and measured
+        # multi-minute hangs on the tunneled TPU). complex128 is emulated
+        # on TPU anyway; there is nothing to win on-chip here.
         if len(self.weights) == 0:
             return np.zeros(len(z), dtype=np.complex128)
-        zz = jnp.asarray(z, jnp.complex128)
-        w = jnp.asarray(self.weights, jnp.complex128)
-        p = jnp.asarray(self.poles)
-        return np.asarray((w[None, :] / (zz[:, None] - p[None, :])).sum(-1))
+        zz = np.asarray(z, np.complex128)
+        w = np.asarray(self.weights, np.complex128)
+        p = np.asarray(self.poles)
+        return (w[None, :] / (zz[:, None] - p[None, :])).sum(-1)
 
 
 @dataclass

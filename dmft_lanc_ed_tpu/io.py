@@ -215,7 +215,6 @@ def read_bath_restart(cfg: EDConfig, outdir: str = ".", suffix: str = ""
                       ) -> Optional[np.ndarray]:
     """Read hamiltonian.restart if present (init_dmft_bath read branch)."""
     from .bath import pack_bath
-    import jax.numpy as jnp
     path = os.path.join(outdir, cfg.hfile + suffix + ".restart")
     if not os.path.exists(path):
         return None
@@ -244,7 +243,7 @@ def read_bath_restart(cfg: EDConfig, outdir: str = ".", suffix: str = ""
                     for a in range(cfg.norb):
                         v[s, a, k] = row[i]
                         i += 1
-        return pack_bath(cfg, Bath(e=jnp.asarray(e), v=jnp.asarray(v)))
+        return pack_bath(cfg, Bath(e=np.asarray(e), v=np.asarray(v)))
     # replica/general: Nsym header (one line per replica), then per replica
     # p: Nspin hybridization lines + one lambda row — the exact inverse of
     # save_bath's replica branch and of the reference's read_dmft_bath
@@ -259,7 +258,7 @@ def read_bath_restart(cfg: EDConfig, outdir: str = ".", suffix: str = ""
             idx += 1
         lam[p] = rows[idx][:nsym]
         idx += 1
-    return pack_bath(cfg, Bath(lam=jnp.asarray(lam), v_rep=jnp.asarray(v)))
+    return pack_bath(cfg, Bath(lam=np.asarray(lam), v_rep=np.asarray(v)))
 
 
 def write_occupation_prob(cfg: EDConfig, obs: Observables, outdir: str = ".",

@@ -265,6 +265,24 @@ def _tridiag_call(op: BlockSparseSectorOp, v32p: jnp.ndarray, kk: int,
         )(*_chain_inputs(op, v32p))
 
 
+# grid-structure implementation switch (v2 default: one grid step per
+# Lanczos step with panels in an in-kernel fori_loop; v1: (K, phases, ntd)
+# grid — kept for A/B measurement, BS_CHAIN_IMPL=v1)
+import os as _os
+
+_USE_V1 = _os.environ.get("BS_CHAIN_IMPL", "v2") == "v1"
+
+
+def tridiag_call(op, v32p, kk: int, interpret: bool = False):
+    fn = _tridiag_call if _USE_V1 else _tridiag_call2
+    return fn(op, v32p, kk, interpret=interpret)
+
+
+def cheb_call(op, v32p, ce, kk: int, interpret: bool = False):
+    fn = _cheb_call if _USE_V1 else _cheb_call2
+    return fn(op, v32p, ce, kk, interpret=interpret)
+
+
 def tridiag_chain(op: BlockSparseSectorOp, v32p: jnp.ndarray, m: int,
                   interpret: bool = False
                   ) -> Tuple[np.ndarray, np.ndarray, float]:
@@ -276,11 +294,200 @@ def tridiag_chain(op: BlockSparseSectorOp, v32p: jnp.ndarray, m: int,
     scale). One kernel launch (K bucketed up).
     """
     kk = _bucket_k(m)
-    al, be = _tridiag_call(op, v32p, kk, interpret=_auto_interpret(interpret))
+    al, be = tridiag_call(op, v32p, kk, interpret=_auto_interpret(interpret))
     al = np.asarray(al).ravel()[:m].astype(np.float64)
     be_raw = np.asarray(be).ravel()[:m].astype(np.float64)
     betas = np.concatenate([[0.0], be_raw[:m - 1]])
     return al, betas, float(be_raw[m - 1])
+
+
+# --------------------------------------------------------------------------
+# v2 grid structure: one grid step per Lanczos step, panels via fori_loop
+# (16 grid steps per Lanczos step in v1 measured ~20 us/step of fixed
+# per-grid-step overhead on the 854k sector; v2 pays it once per step)
+# --------------------------------------------------------------------------
+def _tridiag_kernel2(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
+                     a_ref, b_ref, alphas_ref, betas_ref,
+                     vbuf, st, sem, *, kk: int, d_dw: int, w_dw: int,
+                     ddp: int, d_up: int, w_up: int, dup: int):
+    k = pl.program_id(0)
+    ntd = ddp // 128
+    cur = jax.lax.rem(k, 2)
+    prv = 1 - cur
+
+    @pl.when(k == 0)
+    def _():
+        dma = pltpu.make_async_copy(v0_ref, vbuf.at[0], sem)
+        dma.start()
+        dma.wait()
+        st[_DOT] = 0.0
+        st[_SS] = 0.0
+        st[_SPRV] = 0.0
+        st[_SCUR] = 1.0
+        st[_BETA] = 0.0
+
+    coup = st[_BETA] * st[_SPRV]
+    s_cur = st[_SCUR]
+
+    def p0(i, _):
+        hv, v_blk = _hv_panel(vbuf, cur, i, dwhi_ref, dwlo_ref, uphi_ref,
+                              uplo_ref, a_ref, b_ref, d_dw=d_dw, w_dw=w_dw,
+                              ddp=ddp, d_up=d_up, w_up=w_up, dup=dup)
+        y = s_cur * hv
+        st[_DOT] += jnp.sum(v_blk * y)
+
+        @pl.when(k > 0)
+        def _():
+            vbuf[prv, pl.ds(i * 128, 128), :] = \
+                y - coup * vbuf[prv, pl.ds(i * 128, 128), :]
+
+        @pl.when(k == 0)
+        def _():
+            vbuf[prv, pl.ds(i * 128, 128), :] = y
+        return 0
+
+    jax.lax.fori_loop(0, ntd, p0, 0)
+    alpha = s_cur * st[_DOT]
+    alphas_ref[k, 0] = alpha
+    st[_DOT] = 0.0
+    co = alpha * s_cur
+
+    def p1(i, _):
+        w = vbuf[prv, pl.ds(i * 128, 128), :] \
+            - co * vbuf[cur, pl.ds(i * 128, 128), :]
+        vbuf[prv, pl.ds(i * 128, 128), :] = w
+        st[_SS] += jnp.sum(w * w)
+        return 0
+
+    jax.lax.fori_loop(0, ntd, p1, 0)
+    beta = jnp.sqrt(st[_SS])
+    betas_ref[k, 0] = beta
+    st[_SPRV] = st[_SCUR]
+    st[_SCUR] = jnp.where(beta > 1e-30, 1.0 / beta, 0.0)
+    st[_BETA] = beta
+    st[_SS] = 0.0
+
+
+@partial(jax.jit, static_argnames=("kk", "interpret"))
+def _tridiag_call2(op: BlockSparseSectorOp, v32p: jnp.ndarray, kk: int,
+                   interpret: bool = False):
+    with jax.enable_x64(False):
+        ddp, dup = v32p.shape
+        kern = partial(_tridiag_kernel2, kk=kk, d_dw=op.d_dw, w_dw=op.w_dw,
+                       ddp=ddp, d_up=op.d_up, w_up=op.w_up, dup=dup)
+        return pl.pallas_call(
+            kern,
+            grid=(kk,),
+            in_specs=_chain_specs(op, ddp, dup),
+            out_specs=[
+                pl.BlockSpec((kk, 1), lambda *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((kk, 1), lambda *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((kk, 1), jnp.float32),
+                jax.ShapeDtypeStruct((kk, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, ddp, dup), jnp.float32),
+                pltpu.SMEM((8,), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=CHAIN_VMEM_LIMIT),
+            interpret=interpret,
+        )(*_chain_inputs(op, v32p))
+
+
+def _cheb_kernel2(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
+                  a_ref, b_ref, ce_ref, vout_ref, ssout_ref,
+                  vbuf, st, sem, sem2, *, kk: int, d_dw: int, w_dw: int,
+                  ddp: int, d_up: int, w_up: int, dup: int):
+    k = pl.program_id(0)
+    ntd = ddp // 128
+    cur = jax.lax.rem(k, 2)
+    prv = 1 - cur
+
+    @pl.when(k == 0)
+    def _():
+        dma = pltpu.make_async_copy(v0_ref, vbuf.at[0], sem)
+        dma.start()
+        dma.wait()
+        st[_SS] = 0.0
+        st[_SPRV] = 0.0
+        st[_SCUR] = 1.0
+
+    c = ce_ref[0, 0]
+    inv_e = ce_ref[1, 0]
+    fac = jnp.where(k == 0, inv_e, 2.0 * inv_e) * st[_SCUR]
+    ss_coef = st[_SCUR] * st[_SPRV]
+
+    def p0(i, _):
+        hv, v_blk = _hv_panel(vbuf, cur, i, dwhi_ref, dwlo_ref, uphi_ref,
+                              uplo_ref, a_ref, b_ref, d_dw=d_dw, w_dw=w_dw,
+                              ddp=ddp, d_up=d_up, w_up=w_up, dup=dup)
+        r0 = fac * (hv - c * v_blk)
+
+        @pl.when(k > 0)
+        def _():
+            r = r0 - ss_coef * vbuf[prv, pl.ds(i * 128, 128), :]
+            vbuf[prv, pl.ds(i * 128, 128), :] = r
+            st[_SS] += jnp.sum(r * r)
+
+        @pl.when(k == 0)
+        def _():
+            vbuf[prv, pl.ds(i * 128, 128), :] = r0
+            st[_SS] += jnp.sum(r0 * r0)
+        return 0
+
+    jax.lax.fori_loop(0, ntd, p0, 0)
+    nrm = jnp.sqrt(st[_SS])
+    st[_SPRV] = st[_SCUR]
+    st[_SCUR] = jnp.where(nrm > 1e-30, 1.0 / nrm, 0.0)
+    st[_SS] = 0.0
+
+    @pl.when(k == kk - 1)
+    def _():
+        ssout_ref[0, 0] = nrm
+        dma2 = pltpu.make_async_copy(vbuf.at[prv], vout_ref, sem2)
+        dma2.start()
+        dma2.wait()
+
+
+@partial(jax.jit, static_argnames=("kk", "interpret"))
+def _cheb_call2(op: BlockSparseSectorOp, v32p: jnp.ndarray, ce: jnp.ndarray,
+                kk: int, interpret: bool = False):
+    with jax.enable_x64(False):
+        ddp, dup = v32p.shape
+        kern = partial(_cheb_kernel2, kk=kk, d_dw=op.d_dw, w_dw=op.w_dw,
+                       ddp=ddp, d_up=op.d_up, w_up=op.w_up, dup=dup)
+        return pl.pallas_call(
+            kern,
+            grid=(kk,),
+            in_specs=_chain_specs(op, ddp, dup) + [
+                pl.BlockSpec((2, 1), lambda *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 1), lambda *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((ddp, dup), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, ddp, dup), jnp.float32),
+                pltpu.SMEM((8,), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=CHAIN_VMEM_LIMIT),
+            interpret=interpret,
+        )(*_chain_inputs(op, v32p), ce)
 
 
 # --------------------------------------------------------------------------
@@ -388,7 +595,7 @@ def cheb_chain(op: BlockSparseSectorOp, v32p: jnp.ndarray, m: int,
     """
     kk = _bucket_k(m)
     ce = jnp.asarray(np.array([[c], [1.0 / e]], np.float32))
-    v, nrm = _cheb_call(op, v32p, ce, kk, interpret=_auto_interpret(interpret))
+    v, nrm = cheb_call(op, v32p, ce, kk, interpret=_auto_interpret(interpret))
     return v / jnp.maximum(nrm[0, 0], 1e-30)
 
 

@@ -47,7 +47,8 @@ def _kernel(v0_ref, a_ref, norms_ref, vout_ref, vbuf, st, sem, sem2):
     # y_i = s_cur * (A u_cur)_i   (panel i of the product)
     win = vbuf[cur]                               # [N, 128] whole vector
     a_blk = a_ref[pl.ds(i * 128, 128), :]         # [128, N]
-    y = st[1] * jnp.dot(a_blk, win, preferred_element_type=jnp.float32)
+    y = st[1] * jnp.dot(a_blk, win, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     vbuf[prv, pl.ds(i * 128, 128), :] = y
     st[0] += jnp.sum(y * y)
 
