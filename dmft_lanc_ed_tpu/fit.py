@@ -31,6 +31,7 @@ from .bath import Bath, pack_bath, unpack_bath
 from .bath_functions import delta_bath, g0and_bath
 from .config import EDConfig
 from .solver import matsubara_grid
+from .utils import on_host
 
 
 def _cabs_pow(x: jnp.ndarray, p: int) -> jnp.ndarray:
@@ -55,6 +56,7 @@ def _target_fn(cfg: EDConfig):
                                                      h_basis)
 
 
+@on_host
 def chi2_fitgf(cfg: EDConfig, target: np.ndarray, bath_array: np.ndarray,
                hloc: np.ndarray, ispin: Optional[int] = None,
                h_basis: Optional[np.ndarray] = None,

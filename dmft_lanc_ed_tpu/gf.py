@@ -29,6 +29,7 @@ import numpy as np
 
 from .bath import Bath
 from .bath_functions import invg0_bath
+from .utils import host_device
 from .config import EDConfig
 from .eigenspace import StateList
 from .ops.lanczos import (lanczos_tridiag, lanczos_tridiag_batched, tridiag_eigh)
@@ -436,7 +437,8 @@ def build_sigma(cfg: EDConfig, hloc, bath: Bath, gf: GFData, z: np.ndarray,
                 h_basis=None) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (Sigma, G) on the given frequency points, reference layout."""
     g = gf.evaluate(cfg, z)
-    ig0 = np.asarray(invg0_bath(cfg, hloc, bath, jnp.asarray(z), h_basis))
+    with host_device():   # tiny fixed-grid math; keep off the TPU tunnel
+        ig0 = np.asarray(invg0_bath(cfg, hloc, bath, jnp.asarray(z), h_basis))
     sigma = np.zeros_like(g)
     if cfg.bath_type == "normal" and not cfg.ed_solve_offdiag_gf:
         for s in range(cfg.nspin):

@@ -43,6 +43,16 @@ from .sectors import Sector, bath_stride, hop_entries, occupations
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class SectorHamiltonian:
+    """ELL tensor-product factor tables for one sector.
+
+    Leaves are HOST numpy arrays: the builder is host-side, the dense /
+    blocksparse / direct backends repack them on host, and the dense
+    oracle + spy diagnostics read them on host. They cross to the device
+    exactly once, as jit arguments of the Krylov solve (the pytree is
+    registered, so numpy leaves are device_put per jit call) — keeping
+    them device-resident instead costs a host<->device round-trip per
+    consumer through the TPU tunnel, where transfers can hang outright.
+    """
     diag: jnp.ndarray                     # [DimDw, DimUp]
     up_cols: jnp.ndarray                  # [DimUp, Kup] int32
     up_vals: jnp.ndarray                  # [DimUp, Kup]
@@ -265,7 +275,7 @@ def build_sector_hamiltonian(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
               for s2 in range(cfg.nspin)] for s1 in range(cfg.nspin)])
         if np.abs(off).max() > 1e-12:
             raise ValueError("ed_total_ud=F requires orbital-diagonal Hloc")
-    dtype = dtype or jnp.dtype(cfg.ed_dtype)
+    dtype = dtype or np.dtype(cfg.ed_dtype)
     bath_diag, diag_hybr, hbath = bath_levels(cfg, bath, h_basis)
     hloc = np.asarray(hloc, dtype=np.float64)
     up = sec.states_up[0]
@@ -301,10 +311,10 @@ def build_sector_hamiltonian(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
                     nd_terms.append((_gather_map(up, ru, cu, vu),
                                      _gather_map(dw, rd, cd, vd)))
     if nd_terms:
-        nd_up_src = jnp.asarray(np.stack([t[0][0] for t in nd_terms]))
-        nd_up_val = jnp.asarray(np.stack([t[0][1] for t in nd_terms]), dtype=dtype)
-        nd_dw_src = jnp.asarray(np.stack([t[1][0] for t in nd_terms]))
-        nd_dw_val = jnp.asarray(np.stack([t[1][1] for t in nd_terms]), dtype=dtype)
+        nd_up_src = np.stack([t[0][0] for t in nd_terms])
+        nd_up_val = np.stack([t[0][1] for t in nd_terms]).astype(dtype)
+        nd_dw_src = np.stack([t[1][0] for t in nd_terms])
+        nd_dw_val = np.stack([t[1][1] for t in nd_terms]).astype(dtype)
     else:
         nd_up_src = nd_up_val = nd_dw_src = nd_dw_val = None
 
@@ -312,22 +322,22 @@ def build_sector_hamiltonian(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
     ph_diag = eph_el = eph_x = None
     if cfg.dim_ph > 1:
         nph = np.arange(cfg.dim_ph, dtype=np.float64)
-        ph_diag = jnp.asarray(cfg.w0_ph * nph, dtype=dtype)
+        ph_diag = np.asarray(cfg.w0_ph * nph, dtype=dtype)
         g = np.array(cfg.g_ph[:cfg.norb])
         n_up = occupations(up, cfg.ns).astype(np.float64)[:, :cfg.norb]
         n_dw = occupations(dw, cfg.ns).astype(np.float64)[:, :cfg.norb]
         eph_el_np = (n_up @ g)[None, :] + (n_dw @ g)[:, None] - g.sum()
-        eph_el = jnp.asarray(eph_el_np, dtype=dtype)
+        eph_el = np.asarray(eph_el_np, dtype=dtype)
         x = np.zeros((cfg.dim_ph, cfg.dim_ph))
         for p in range(cfg.dim_ph - 1):
             x[p, p + 1] = np.sqrt(p + 1.0)   # b
             x[p + 1, p] = np.sqrt(p + 1.0)   # b^+
-        eph_x = jnp.asarray(x, dtype=dtype)
+        eph_x = np.asarray(x, dtype=dtype)
 
     return SectorHamiltonian(
-        diag=jnp.asarray(diag, dtype=dtype),
-        up_cols=jnp.asarray(up_cols), up_vals=jnp.asarray(up_vals, dtype=dtype),
-        dw_cols=jnp.asarray(dw_cols), dw_vals=jnp.asarray(dw_vals, dtype=dtype),
+        diag=np.asarray(diag, dtype=dtype),
+        up_cols=np.asarray(up_cols), up_vals=np.asarray(up_vals, dtype=dtype),
+        dw_cols=np.asarray(dw_cols), dw_vals=np.asarray(dw_vals, dtype=dtype),
         nd_up_src=nd_up_src, nd_up_val=nd_up_val,
         nd_dw_src=nd_dw_src, nd_dw_val=nd_dw_val,
         ph_diag=ph_diag, eph_el=eph_el, eph_x=eph_x,

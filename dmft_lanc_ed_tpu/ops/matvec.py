@@ -45,6 +45,10 @@ def _apply_factor_rows(cols, vals, v, out):
 
 def apply_h(h: SectorHamiltonian, v: jnp.ndarray) -> jnp.ndarray:
     """y = H v for one sector. v shaped [DimDw, DimUp] or [DimPh, DimDw, DimUp]."""
+    # tables are host numpy (see SectorHamiltonian); when `h` is closed over
+    # rather than passed as a jit argument they must become jnp constants
+    # here, or tracer-indexed gathers below hit numpy. No-op for tracers.
+    h = jax.tree_util.tree_map(jnp.asarray, h)
     has_ph = h.ph_diag is not None
     y = h.diag * v
     # dw hops: row gathers in the native layout

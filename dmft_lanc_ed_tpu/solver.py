@@ -23,6 +23,7 @@ import numpy as np
 
 from .bath import init_bath, pack_bath, unpack_bath
 from .bath_functions import g0and_bath
+from .utils import host_device
 from .config import EDConfig
 from .diag import DiagState, diagonalize_impurity
 from .eigenspace import StateList
@@ -149,10 +150,11 @@ class EDSolver:
                                          self.h_basis)
         sigma_real, g_real = build_sigma(cfg, self.hloc, bath, gf, zreal,
                                          self.h_basis)
-        g0_mats = np.asarray(g0and_bath(cfg, self.hloc, bath,
-                                        jnp.asarray(zmats), self.h_basis))
-        g0_real = np.asarray(g0and_bath(cfg, self.hloc, bath,
-                                        jnp.asarray(zreal), self.h_basis))
+        with host_device():   # tiny fixed-grid math; keep off the TPU tunnel
+            g0_mats = np.asarray(g0and_bath(cfg, self.hloc, bath,
+                                            jnp.asarray(zmats), self.h_basis))
+            g0_real = np.asarray(g0and_bath(cfg, self.hloc, bath,
+                                            jnp.asarray(zreal), self.h_basis))
         timings["sigma"] = time.perf_counter() - t0
 
         obs.zimp, obs.simp = zimp_simp(cfg, sigma_mats, self.wm)
