@@ -149,6 +149,10 @@ def _accumulate(cfg, hcache, sqn, vv, state_e, therm, chi: ChiPoles) -> None:
         return
     vv = vv / jnp.sqrt(norm2)
     op, op_apply = hcache(sqn)
+    from .gf import unwrap_op
+    op, pad_flat, _ = unwrap_op(op)
+    if pad_flat is not None:
+        vv = pad_flat(vv)
     m = min(vv.shape[0], cfg.lanc_ngfiter)
     alphas, betas = lanczos_tridiag(op, vv, m, op_apply)
     _store_poles(cfg, alphas, betas, norm2, state_e, therm, chi)
@@ -175,10 +179,26 @@ class _ChiBatcher:
 
     def run(self) -> None:
         from .utils.observability import kernel_stats
+        from .ops.blocksparse import BlockSparseSectorOp
+        from .ops.bs_chain import gf_chain_applicable, gf_tridiag_batch
+        from .gf import unwrap_op
         for sqn, tasks in self.groups.items():
             op, op_apply = self.hcache(sqn)
+            op, _, pad_batch = unwrap_op(op)
             dim = tasks[0][0].shape[0]
-            m = min(dim, self.cfg.lanc_ngfiter)
+            m_dim = dim if pad_batch is None else op.dim
+            m = min(m_dim, self.cfg.lanc_ngfiter)
+            if (isinstance(op, BlockSparseSectorOp)
+                    and dim >= self.cfg.ed_gf_chain_min_dim
+                    and gf_chain_applicable(op, m)):
+                # fused f32 chain kernel (same contract as the GF batcher)
+                v0 = jnp.stack([t[0] for t in tasks])
+                kernel_stats.record(m * len(tasks), op.nnz)
+                a_b, b_b = gf_tridiag_batch(op, v0, m)
+                for t, a, b in zip(tasks, a_b, b_b):
+                    _, norm2, state_e, therm, chi = t
+                    _store_poles(self.cfg, a, b, norm2, state_e, therm, chi)
+                continue
             # largest power of two within the byte budget, so the pow2
             # batch padding below never exceeds it (ADVICE r2)
             cap = max(1, self.max_bytes // max(dim * 8, 1))
@@ -192,6 +212,8 @@ class _ChiBatcher:
                 if bpad > len(chunk):
                     v0 = jnp.concatenate(
                         [v0, jnp.zeros((bpad - len(chunk), dim), v0.dtype)])
+                if pad_batch is not None:
+                    v0 = pad_batch(v0)
                 kernel_stats.record(m * len(chunk), getattr(op, "nnz", 0))
                 a_b, b_b = lanczos_tridiag_batched(op, v0, m, op_apply)
                 a_np = np.asarray(a_b)[:len(chunk)]

@@ -144,6 +144,20 @@ class EDConfig:
     # serial so backend cross-checks exercise the chosen kernel.
     ed_batch_sectors: bool = True
     ed_batch_dim_max: int = 1 << 16   # largest flat dim eligible for batching
+    # GF continued-fraction chains run through the fused f32 chain kernel
+    # (ops/bs_chain.gf_tridiag_batch) for pallas-backend sectors at least
+    # this large; below it the batched XLA scan amortizes better. The
+    # kernel chain runs its recurrence in f32 and carries ~2e-5 relative
+    # GF noise — far below bath-discretization error at this sector scale,
+    # but raise this threshold (or set ed_backend=dense) if dmft_error is
+    # pushed below 1e-5.
+    ed_gf_chain_min_dim: int = 1 << 16
+    # pow2 shape-bucketing of GF/chi target-sector operators: executables
+    # then specialize on the bucket, not on each sector shape — the first-
+    # solve (cold) GF phase stops compiling one Krylov-scan executable per
+    # distinct target sector (each remote compile through the TPU tunnel
+    # costs tens of seconds). "auto" = on accelerators only.
+    ed_gf_bucket: str = "auto"     # auto | on | off
 
     # ----------------------------------------------------------------------
     def __post_init__(self):
@@ -164,6 +178,8 @@ class EDConfig:
             raise ValueError(f"unknown ed_backend {self.ed_backend!r}")
         if self.ed_precision not in ("auto", "f64", "mixed", "fast"):
             raise ValueError(f"unknown ed_precision {self.ed_precision!r}")
+        if self.ed_gf_bucket not in ("auto", "on", "off"):
+            raise ValueError(f"unknown ed_gf_bucket {self.ed_gf_bucket!r}")
         if not self.ed_total_ud and (self.jx != 0.0 or self.jp != 0.0):
             raise ValueError("ed_total_ud=False cannot be used with Jx!=0 "
                              "or Jp!=0 (spin-exchange/pair-hopping violate "

@@ -142,7 +142,7 @@ def _solve_batched_sectors(cfg: EDConfig, table: SectorTable, hloc, bath,
 
 
 def _blocksparse_ground_state(cfg: EDConfig, op, dim: int, neigen: int,
-                              ncv: int):
+                              ncv: int, use_chain: Optional[bool] = None):
     """Two-stage ground-state path of the band-sparse fused kernel.
 
     Stage 1 (bulk): when the 2-plane VMEM budget allows, the fused
@@ -162,12 +162,34 @@ def _blocksparse_ground_state(cfg: EDConfig, op, dim: int, neigen: int,
                                   matvec_bs_flat, matvec_bs_padded,
                                   to_padded)
     from .ops.bs_chain import chain_applicable, ground_state_seed
-    if chain_applicable(op):
+    if use_chain is None:
+        use_chain = chain_applicable(op)
+    if use_chain:
         # fused chain-in-kernel stage 1: K Lanczos steps per pallas_call
-        # (per-step HBM -> 0), Chebyshev-filtered seed (ops/bs_chain.py)
-        theta0, seed_nat = ground_state_seed(op, m_tri=96,
-                                             m_cheb=2 * max(ncv, 64))
+        # (per-step HBM -> 0), Chebyshev-filtered seed (ops/bs_chain.py).
+        # m_cheb is capped at the largest chain bucket (one kernel launch);
+        # ground_state_seed iterates filter rounds, so a shorter filter per
+        # round costs extra rounds, not convergence.
+        from .ops.bs_chain import _K_BUCKETS
+        theta0, seed_nat, eta = ground_state_seed(
+            op, m_tri=96, m_cheb=min(2 * max(ncv, 64), _K_BUCKETS[-1]))
         seed = jnp.asarray(seed_nat).reshape(-1)
+        if neigen == 1 and eta <= 3e-3:
+            # the Lanczos top-off is reorth-bound (CGS2 re-reads the whole
+            # ncv-vector basis every step — ROUND3_NOTES #3); with a seed
+            # this good the self-tuning f64 Rayleigh-Ritz polish alone
+            # reaches f64 (each round squares the error), at ~20 f64
+            # matvecs instead of ncv mixed matvecs + the reorth wall. A
+            # residual check guards the shortcut — on failure fall through
+            # to the full top-off.
+            from .ops.lanczos import refine_eigenpairs
+            vals, vecs = refine_eigenpairs(op, matvec_bs_exact_flat,
+                                           seed.reshape(1, -1))
+            r = matvec_bs_exact_flat(op, vecs[0]) - vals[0] * vecs[0]
+            if float(jnp.linalg.norm(r)) <= 1e-7 * max(1.0, abs(vals[0])):
+                return (np.asarray(vals),
+                        np.asarray(vecs).reshape(1, -1))
+            seed = jnp.asarray(vecs[0]).reshape(-1)
     else:
         v0n = jax.random.normal(jax.random.PRNGKey(17),
                                 (op.dim_dw, op.dim_up), jnp.float64)

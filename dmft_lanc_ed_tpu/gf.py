@@ -118,25 +118,115 @@ def apply_op(cfg: EDConfig, sec_from: Sector, sec_to: Sector, vec: jnp.ndarray,
 # --------------------------------------------------------------------------
 # Lanczos GF builder
 # --------------------------------------------------------------------------
+@dataclass
+class BucketedOp:
+    """2D pow2-padded sector operator for GF/chi Krylov chains.
+
+    A chain started from a zero-padded vector has alphas/betas IDENTICAL to
+    the unpadded chain (the pad rows form an exactly invariant, PAD_SHIFT-ed
+    subspace — ops/batched.pad_dense_op_2d), and nothing but the
+    tridiagonal ever leaves a GF chain — so chains can run at the bucket
+    shape and XLA executables specialize per pow2 bucket instead of per
+    distinct target sector. This is the cold-compile control: every distinct
+    executable costs tens of seconds of remote compile through the TPU
+    tunnel (BENCH_MATRIX r3: cold GF 391.7 s vs warm 0.72 s)."""
+    inner: object                 # padded DenseSectorOp
+    apply: object                 # flat apply over the PADDED dim
+    dim_ph: int
+    dd: int
+    du: int
+    dd_p: int
+    du_p: int
+
+    @property
+    def nnz(self) -> int:
+        return self.inner.nnz
+
+    @property
+    def dim_pad(self) -> int:
+        return self.dim_ph * self.dd_p * self.du_p
+
+    def pad_flat(self, v: jnp.ndarray) -> jnp.ndarray:
+        lead = (self.dim_ph,) if self.dim_ph > 1 else ()
+        v = v.reshape(lead + (self.dd, self.du))
+        pad = ((0, 0),) * len(lead) + ((0, self.dd_p - self.dd),
+                                       (0, self.du_p - self.du))
+        return jnp.pad(v, pad).reshape(-1)
+
+    def pad_batch(self, vb: jnp.ndarray) -> jnp.ndarray:
+        b = vb.shape[0]
+        lead = (self.dim_ph,) if self.dim_ph > 1 else ()
+        v = vb.reshape((b,) + lead + (self.dd, self.du))
+        pad = ((0, 0),) * (1 + len(lead)) + ((0, self.dd_p - self.dd),
+                                             (0, self.du_p - self.du))
+        return jnp.pad(v, pad).reshape(b, -1)
+
+
+def unwrap_op(op):
+    """(inner_op, pad_flat, pad_batch) — identity passthrough for plain ops."""
+    if isinstance(op, BucketedOp):
+        return op.inner, op.pad_flat, op.pad_batch
+    return op, None, None
+
+
 class HCache:
     """Per-solve cache of sector operators (build once per sector); returns
-    (op, apply_fn) pairs from the backend factory, and dw-sharded dense ops
-    for large target sectors when cfg.mesh_shape is set (the GF tridiag then
-    runs on scattered vectors, ED_GF_NORMAL.f90:224-238 analogue)."""
+    (op, apply_fn) pairs from the backend factory — pow2-bucketed
+    (:class:`BucketedOp`) where cfg.ed_gf_bucket applies — and dw-sharded
+    dense ops for large target sectors when cfg.mesh_shape is set (the GF
+    tridiag then runs on scattered vectors, ED_GF_NORMAL.f90:224-238
+    analogue)."""
 
     def __init__(self, cfg: EDConfig, table: SectorTable, hloc, bath: Bath,
                  h_basis=None):
-        from .ops.factory import make_sector_op
+        import jax
+        from .ops.factory import make_sector_op, resolve_backend
         from .parallel.production import shard_sector_op, solver_mesh
         self.cfg = cfg
-        self._build = lambda sec: make_sector_op(
+        self._make = lambda sec: make_sector_op(
             cfg, sec, hloc, bath, h_basis=h_basis)
+        self._build_dense = lambda sec: self._dense_pair(
+            cfg, sec, hloc, bath, h_basis)
         self._build_sharded = lambda sec, mesh: shard_sector_op(
             cfg, sec, hloc, bath, h_basis, mesh)
         self.table = table
         self.mesh = solver_mesh(cfg)
+        self.bucket = (cfg.ed_gf_bucket == "on"
+                       or (cfg.ed_gf_bucket == "auto"
+                           and jax.default_backend() != "cpu"))
+        self.backend = resolve_backend(cfg)
         self._cache: Dict[SectorQN, tuple] = {}
         self._sharded: Dict[SectorQN, object] = {}
+
+    @staticmethod
+    def _dense_pair(cfg, sec, hloc, bath, h_basis):
+        from .ops.factory import _DENSE_APPLY, resolve_precision
+        from .ops.dense import build_dense_op
+        op = build_dense_op(cfg, sec, hloc, bath, h_basis=h_basis)
+        return op, _DENSE_APPLY[resolve_precision(cfg)]
+
+    def _build(self, sec):
+        from .ops.batched import _pow2_at_least, pad_dense_op_2d
+        from .ops.blocksparse import BlockSparseSectorOp
+        from .ops.dense import DenseSectorOp
+        if (self.backend == "pallas"
+                and sec.dim < self.cfg.ed_gf_chain_min_dim):
+            # small-sector GF under the pallas backend: the generic bs flat
+            # apply IS the dense-mixed contract, so build the dense op
+            # directly — it buckets, the band-sparse op does not
+            op, apply = self._build_dense(sec)
+        else:
+            op, apply = self._make(sec)
+        if self.bucket and isinstance(op, DenseSectorOp):
+            du_p = _pow2_at_least(op.dim_up)
+            dd_p = _pow2_at_least(op.dim_dw)
+            if (du_p, dd_p) != (op.dim_up, op.dim_dw):
+                padded = pad_dense_op_2d(op, du_p, dd_p)
+                return (BucketedOp(inner=padded, apply=apply,
+                                   dim_ph=op.dim_ph, dd=op.dim_dw,
+                                   du=op.dim_up, dd_p=dd_p, du_p=du_p),
+                        apply)
+        return op, apply
 
     def __call__(self, sqn: SectorQN):
         if sqn not in self._cache:
@@ -179,7 +269,10 @@ def _one_excitation(cfg: EDConfig, table: SectorTable, hcache: HCache,
         return
     vv = vv / jnp.sqrt(norm2)
     op, op_apply = hcache(jqn)
-    m = min(sec_j.dim, cfg.lanc_ngfiter)
+    op, pad_flat, _ = unwrap_op(op)
+    if pad_flat is not None:
+        vv = pad_flat(vv)
+    m = min(vv.shape[0], cfg.lanc_ngfiter)
     from .utils.observability import kernel_stats
     kernel_stats.record(m, getattr(op, "nnz", 0))
     alphas, betas = lanczos_tridiag(op, vv, m, op_apply)
@@ -207,20 +300,52 @@ class _ExcBatcher:
         self.groups.setdefault(jqn, []).append(
             (vv, norm2, state_e, isign, peso, gf))
 
+    @staticmethod
+    def _accumulate(chunk, a_np, b_np) -> None:
+        """Tridiagonals -> continued-fraction poles (add_to_lanczos_gf)."""
+        for t, a, b in zip(chunk, a_np, b_np):
+            _, norm2, state_e, isign, peso, gf = t
+            theta, s = tridiag_eigh(a, b)
+            weights = norm2 * peso * (s[0, :] ** 2)
+            poles = isign * (theta - state_e)
+            keep = np.abs(weights) > 1e-30
+            gf.add(weights[keep], poles[keep])
+
     def run(self) -> None:
         import logging
         log = logging.getLogger("dmft_lanc_ed_tpu")
         from .utils.observability import kernel_stats
+        from .ops.blocksparse import BlockSparseSectorOp
+        from .ops.bs_chain import gf_chain_applicable, gf_tridiag_batch
         for jqn, tasks in self.groups.items():
             log.debug("gf batch: sector %s, %d excitations, dim %d",
                       jqn, len(tasks), tasks[0][0].shape[0])
             sop = self.hcache.sharded(jqn)
+            pad_batch = None
             if sop is not None:
                 op, op_apply = sop.op, sop.apply_nd
             else:
                 op, op_apply = self.hcache(jqn)
+                op, _, pad_batch = unwrap_op(op)
             dim = tasks[0][0].shape[0]
-            m = min(dim, self.cfg.lanc_ngfiter)
+            # bucketed ops use the bucket dim for the chain length so every
+            # sector in a bucket shares one executable; the extra steps of
+            # a small sector's chain break down benignly (beta=0, zero-
+            # weight poles — see ops/lanczos.lanczos_tridiag)
+            m_dim = dim if pad_batch is None else op.dim
+            m = min(m_dim, self.cfg.lanc_ngfiter)
+            if (sop is None and isinstance(op, BlockSparseSectorOp)
+                    and dim >= self.cfg.ed_gf_chain_min_dim
+                    and gf_chain_applicable(op, m)):
+                # fused f32 chain-in-kernel path: the whole continued-
+                # fraction tridiagonalization of each excitation is one
+                # kernel chain, GF_CHAIN_BATCH chains per dispatch
+                # (ops/bs_chain.py; ED_GF_NORMAL.f90:599-654 analogue)
+                v0 = jnp.stack([t[0] for t in tasks])
+                kernel_stats.record(m * len(tasks), op.nnz)
+                a_b, b_b = gf_tridiag_batch(op, v0, m)
+                self._accumulate(tasks, a_b, b_b)
+                continue
             # largest power of two within the byte budget, so the pow2
             # batch padding below never exceeds it (ADVICE r2)
             cap = max(1, self.max_bytes // max(dim * 8, 1))
@@ -247,17 +372,12 @@ class _ExcBatcher:
                         v0 = jnp.concatenate(
                             [v0, jnp.zeros((bpad - len(chunk), dim),
                                            v0.dtype)])
+                    if pad_batch is not None:
+                        v0 = pad_batch(v0)
                 kernel_stats.record(m * len(chunk), getattr(op, "nnz", 0))
                 a_b, b_b = lanczos_tridiag_batched(op, v0, m, op_apply)
-                a_np = np.asarray(a_b)[:len(chunk)]
-                b_np = np.asarray(b_b)[:len(chunk)]
-                for t, a, b in zip(chunk, a_np, b_np):
-                    _, norm2, state_e, isign, peso, gf = t
-                    theta, s = tridiag_eigh(a, b)
-                    weights = norm2 * peso * (s[0, :] ** 2)
-                    poles = isign * (theta - state_e)
-                    keep = np.abs(weights) > 1e-30
-                    gf.add(weights[keep], poles[keep])
+                self._accumulate(chunk, np.asarray(a_b)[:len(chunk)],
+                                 np.asarray(b_b)[:len(chunk)])
         self.groups.clear()
 
 

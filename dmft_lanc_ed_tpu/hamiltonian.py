@@ -202,8 +202,19 @@ def _spin_hop_coo(cfg: EDConfig, states: np.ndarray, spin: int,
 # --------------------------------------------------------------------------
 # electron diagonal (stored/H_local.f90 behavior)
 # --------------------------------------------------------------------------
-def _electron_diag(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
-                   bath_diag: np.ndarray) -> np.ndarray:
+def _electron_diag_factors(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
+                           bath_diag: np.ndarray):
+    """Factored electron diagonal:
+
+        diag[idw, iup] = e_up[iup] + e_dw[idw] + (a_dw @ b_up.T)[idw, iup]
+
+    with a_dw = n_dw_imp @ W.T  [DimDw, norb],  b_up = n_up_imp  [DimUp, norb]
+    (W the opposite-spin interaction bilinear, U_loc on the diagonal and Ust
+    off it) and the Hartree constant folded into e_up. The stored backend
+    composes the full [DimDw, DimUp] array; the matrix-free direct backend
+    keeps the factors — O(Dim_dw + Dim_up) memory instead of O(Dim), the
+    analogue of the reference's direct path recomputing diagonal terms per
+    state (ED_HAMILTONIAN_DIRECT_HxV.f90 / direct/HxV_local.f90)."""
     norb = cfg.norb
     ns = cfg.ns
     up = sec.states_up[0]
@@ -247,9 +258,13 @@ def _electron_diag(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
             const += 0.25 * (2.0 * ust - jh) * npairs
     # opposite-spin bilinear: sum_ab W[a,b] nup_a ndw_b
     w_mat = np.diag(uloc) + ust * (np.ones((norb, norb)) - np.eye(norb))
-    cross = (nd @ w_mat.T) @ nu.T          # [DimDw, DimUp]
-    diag = e_up[None, :] + e_dw[:, None] + cross + const
-    return diag
+    return e_up + const, e_dw, nd @ w_mat.T, nu
+
+
+def _electron_diag(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
+                   bath_diag: np.ndarray) -> np.ndarray:
+    e_up, e_dw, a_dw, b_up = _electron_diag_factors(cfg, sec, hloc, bath_diag)
+    return e_up[None, :] + e_dw[:, None] + a_dw @ b_up.T
 
 
 # --------------------------------------------------------------------------

@@ -183,6 +183,11 @@ class BlockSparseSectorOp:
     # f32-true HIGHEST matmuls + f64 diagonal — the dense-backend contract)
     hup32: jnp.ndarray = None
     hdw32: jnp.ndarray = None
+    # GF chain-kernel path: plain f32 banded slabs (same geometry as the
+    # split-bf16 pairs, same total bytes) consumed with Mosaic 6-pass
+    # HIGHEST dots — full f32 fidelity inside the fused chain
+    dw_f32: jnp.ndarray = None    # [ntd, 128, Wd] f32
+    up_f32: jnp.ndarray = None    # [ntu, Wu, 128] f32
     # static metadata
     dim_dw: int = field(default=0, metadata=dict(static=True))
     dim_up: int = field(default=0, metadata=dict(static=True))
@@ -279,6 +284,7 @@ def build_blocksparse_op(h: SectorHamiltonian) -> BlockSparseSectorOp:
         diag=jnp.asarray(diag), hup=jnp.asarray(hup), hdw=jnp.asarray(hdw),
         hup32=jnp.asarray(hup, jnp.float32),
         hdw32=jnp.asarray(hdw, jnp.float32),
+        dw_f32=jnp.asarray(dw_slabs), up_f32=jnp.asarray(up_slabs),
         dim_dw=dd, dim_up=du, w_dw=w_dw, d_dw=d_dw, w_up=w_up, d_up=d_up,
         nnz_count=h.nnz)
 
@@ -291,6 +297,8 @@ def _dot3(xhi, xlo, ahi, alo):
     kw = dict(preferred_element_type=jnp.float32)
     return (jnp.dot(xhi, ahi, **kw) + jnp.dot(xlo, ahi, **kw)
             + jnp.dot(xhi, alo, **kw))
+
+
 
 
 def _fused_kernel(scale_ref, v_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,

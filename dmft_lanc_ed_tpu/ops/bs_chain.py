@@ -77,7 +77,10 @@ def _bucket_k(k: int) -> int:
     for b in _K_BUCKETS:
         if k <= b:
             return b
-    return _K_BUCKETS[-1]
+    raise ValueError(
+        f"chain length {k} exceeds the largest fused-chain bucket "
+        f"{_K_BUCKETS[-1]}; split into multiple kernel launches or raise "
+        "_K_BUCKETS (each bucket is one compiled executable)")
 
 
 def chain_applicable(op: BlockSparseSectorOp) -> bool:
@@ -96,12 +99,14 @@ def chain_applicable(op: BlockSparseSectorOp) -> bool:
 # --------------------------------------------------------------------------
 def _hv_panel(vbuf, cur, i, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
               a_ref, b_ref, *, d_dw: int, w_dw: int, ddp: int,
-              d_up: int, w_up: int, dup: int):
+              d_up: int, w_up: int, dup: int, dots=_dot3):
     """Panel i of H_p @ u_cur (true factor values, f32 accumulation).
 
     Returns (y_panel [128, dup], u_cur panel [128, dup]). The dw window
     contraction is tiled 128 rows at a time so the bf16 cast temporaries
     never exceed one panel. All dynamic starts multiply by 128 LAST.
+    (``dots``: the split-bf16 product; see :func:`_hv_panel_f32` for the
+    full-f32-fidelity GF variant.)
     """
     base_t = jnp.minimum(jnp.maximum(i - d_dw, 0), (ddp - w_dw) // 128)
     v_blk = vbuf[cur, pl.ds(i * 128, 128), :]
@@ -119,7 +124,7 @@ def _hv_panel(vbuf, cur, i, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
         wrow = vbuf[cur, pl.ds((base_t + wt) * 128, 128), :]
         w_hi = wrow.astype(jnp.bfloat16)
         w_lo = (wrow - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = acc + _dot3(
+        acc = acc + dots(
             dwhi_ref[pl.ds(i * 128, 128), wt * 128:(wt + 1) * 128],
             dwlo_ref[pl.ds(i * 128, 128), wt * 128:(wt + 1) * 128],
             w_hi, w_lo)
@@ -129,8 +134,8 @@ def _hv_panel(vbuf, cur, i, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
     up_parts = []
     for j in range(ntu):
         s = min(max((j - d_up) * 128, 0), dup - w_up)
-        up_parts.append(_dot3(vb_hi[:, s:s + w_up], vb_lo[:, s:s + w_up],
-                              uphi_ref[j], uplo_ref[j]))
+        up_parts.append(dots(vb_hi[:, s:s + w_up], vb_lo[:, s:s + w_up],
+                             uphi_ref[j], uplo_ref[j]))
     acc = acc + (up_parts[0] if ntu == 1
                  else jnp.concatenate(up_parts, axis=1))
     return acc, v_blk
@@ -275,12 +280,12 @@ _USE_V1 = _os.environ.get("BS_CHAIN_IMPL", "v2") == "v1"
 
 def tridiag_call(op, v32p, kk: int, interpret: bool = False):
     fn = _tridiag_call if _USE_V1 else _tridiag_call2
-    return fn(op, v32p, kk, interpret=interpret)
+    return fn(op, v32p, kk, interpret=_auto_interpret(interpret))
 
 
 def cheb_call(op, v32p, ce, kk: int, interpret: bool = False):
     fn = _cheb_call if _USE_V1 else _cheb_call2
-    return fn(op, v32p, ce, kk, interpret=interpret)
+    return fn(op, v32p, ce, kk, interpret=_auto_interpret(interpret))
 
 
 def tridiag_chain(op: BlockSparseSectorOp, v32p: jnp.ndarray, m: int,
@@ -628,6 +633,225 @@ def _ritz_bounds(op, v0, m_tri, interpret):
     return theta, b_safe, s00
 
 
+# --------------------------------------------------------------------------
+# GF continued-fraction chains in-kernel (full f32 fidelity)
+# --------------------------------------------------------------------------
+# The GF tridiagonalization (lanczos_tridiag: ED_GF_NORMAL.f90:633-637 /
+# sp_lanc_tridiag) is exactly the chain the tridiag kernel computes — but
+# continued fractions need the dense-mixed (~1e-7) matvec contract, and a
+# two-part bf16 split carries only 16 mantissa bits however many passes are
+# taken. This variant therefore keeps the factors as plain f32 slabs (same
+# bytes as the hi+lo pair) and lets Mosaic's 6-pass HIGHEST dot deliver
+# full f32 fidelity. ~2x the MXU passes of the ground-state chain; still
+# banded (vs the dense path's full tiles) and per-step HBM = 0.
+
+def _dotf(x32, a32):
+    return jnp.dot(x32, a32, preferred_element_type=jnp.float32,
+                   precision=_HIGHEST)
+
+
+def gf_chain_applicable(op: BlockSparseSectorOp, m: int) -> bool:
+    """VMEM gate for the f32-fidelity GF chain: 2 f32 planes + both f32
+    slab stacks resident; chain length within one kernel launch."""
+    if m > _K_BUCKETS[-1] or op.dw_f32 is None:
+        return False
+    ddp, dup = op.padded_shape
+    ntd, ntu = ddp // 128, dup // 128
+    resident = (2 * 4 * ddp * dup
+                + 4 * ntd * 128 * op.w_dw + 4 * ntu * op.w_up * 128
+                + 4 * (ddp + dup) * op.diag_a.shape[1])
+    return resident <= CHAIN_VMEM_BUDGET
+
+
+def _hv_panel_f32(vbuf, cur, i, dw_ref, up_ref, a_ref, b_ref, *,
+                  d_dw: int, w_dw: int, ddp: int, d_up: int, w_up: int,
+                  dup: int):
+    """Panel i of H_p @ u_cur at full f32 fidelity (6-pass HIGHEST dots
+    over plain f32 banded slabs); same geometry as :func:`_hv_panel`."""
+    base_t = jnp.minimum(jnp.maximum(i - d_dw, 0), (ddp - w_dw) // 128)
+    v_blk = vbuf[cur, pl.ds(i * 128, 128), :]
+    diag_panel = jnp.dot(a_ref[pl.ds(i * 128, 128), :], b_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=_HIGHEST)
+    acc = diag_panel * v_blk
+    for wt in range(w_dw // 128):
+        wrow = vbuf[cur, pl.ds((base_t + wt) * 128, 128), :]
+        acc = acc + _dotf(
+            dw_ref[pl.ds(i * 128, 128), wt * 128:(wt + 1) * 128], wrow)
+    ntu = dup // 128
+    up_parts = []
+    for j in range(ntu):
+        s = min(max((j - d_up) * 128, 0), dup - w_up)
+        up_parts.append(_dotf(v_blk[:, s:s + w_up], up_ref[j]))
+    acc = acc + (up_parts[0] if ntu == 1
+                 else jnp.concatenate(up_parts, axis=1))
+    return acc, v_blk
+
+
+def _gf_tridiag_kernel(v0_ref, dw_ref, up_ref, a_ref, b_ref,
+                       alphas_ref, betas_ref, vbuf, st, sem, *, kk: int,
+                       d_dw: int, w_dw: int, ddp: int, d_up: int,
+                       w_up: int, dup: int):
+    """K Lanczos steps at f32 fidelity — body identical to
+    `_tridiag_kernel2` modulo the panel apply."""
+    k = pl.program_id(0)
+    ntd = ddp // 128
+    cur = jax.lax.rem(k, 2)
+    prv = 1 - cur
+
+    @pl.when(k == 0)
+    def _():
+        dma = pltpu.make_async_copy(v0_ref, vbuf.at[0], sem)
+        dma.start()
+        dma.wait()
+        st[_DOT] = 0.0
+        st[_SS] = 0.0
+        st[_SPRV] = 0.0
+        st[_SCUR] = 1.0
+        st[_BETA] = 0.0
+
+    coup = st[_BETA] * st[_SPRV]
+    s_cur = st[_SCUR]
+
+    def p0(i, _):
+        hv, v_blk = _hv_panel_f32(vbuf, cur, i, dw_ref, up_ref, a_ref,
+                                  b_ref, d_dw=d_dw, w_dw=w_dw, ddp=ddp,
+                                  d_up=d_up, w_up=w_up, dup=dup)
+        y = s_cur * hv
+        st[_DOT] += jnp.sum(v_blk * y)
+
+        @pl.when(k > 0)
+        def _():
+            vbuf[prv, pl.ds(i * 128, 128), :] = \
+                y - coup * vbuf[prv, pl.ds(i * 128, 128), :]
+
+        @pl.when(k == 0)
+        def _():
+            vbuf[prv, pl.ds(i * 128, 128), :] = y
+        return 0
+
+    jax.lax.fori_loop(0, ntd, p0, 0)
+    alpha = s_cur * st[_DOT]
+    alphas_ref[k, 0] = alpha
+    st[_DOT] = 0.0
+    co = alpha * s_cur
+
+    def p1(i, _):
+        w = vbuf[prv, pl.ds(i * 128, 128), :] \
+            - co * vbuf[cur, pl.ds(i * 128, 128), :]
+        vbuf[prv, pl.ds(i * 128, 128), :] = w
+        st[_SS] += jnp.sum(w * w)
+        return 0
+
+    jax.lax.fori_loop(0, ntd, p1, 0)
+    beta = jnp.sqrt(st[_SS])
+    betas_ref[k, 0] = beta
+    st[_SPRV] = st[_SCUR]
+    st[_SCUR] = jnp.where(beta > 1e-30, 1.0 / beta, 0.0)
+    st[_BETA] = beta
+    st[_SS] = 0.0
+
+
+def _gf_tridiag_one(op: BlockSparseSectorOp, v32p: jnp.ndarray, kk: int,
+                    interpret: bool):
+    ddp, dup = v32p.shape
+    ntd = ddp // 128
+    ntu = dup // 128
+    rp = op.diag_a.shape[1]
+    kern = partial(_gf_tridiag_kernel, kk=kk, d_dw=op.d_dw, w_dw=op.w_dw,
+                   ddp=ddp, d_up=op.d_up, w_up=op.w_up, dup=dup)
+    return pl.pallas_call(
+        kern,
+        grid=(kk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                # v0 (DMA'd)
+            pl.BlockSpec((ddp, op.w_dw), lambda *_: (0, 0),
+                         memory_space=pltpu.VMEM),            # dw f32 (2D)
+            pl.BlockSpec((ntu, op.w_up, 128), lambda *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),            # up f32
+            pl.BlockSpec((ddp, rp), lambda *_: (0, 0),
+                         memory_space=pltpu.VMEM),            # diag A
+            pl.BlockSpec((rp, dup), lambda *_: (0, 0),
+                         memory_space=pltpu.VMEM),            # diag B
+        ],
+        out_specs=[
+            pl.BlockSpec((kk, 1), lambda *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((kk, 1), lambda *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((kk, 1), jnp.float32),
+            jax.ShapeDtypeStruct((kk, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ddp, dup), jnp.float32),
+            pltpu.SMEM((8,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=CHAIN_VMEM_LIMIT),
+        interpret=interpret,
+    )(v32p, op.dw_f32.reshape(ntd * 128, op.w_dw), op.up_f32,
+      op.diag_a, op.diag_b)
+
+
+@partial(jax.jit, static_argnames=("kk", "b", "interpret"))
+def _gf_batch_call(op: BlockSparseSectorOp, chunk: jnp.ndarray, kk: int,
+                   b: int, interpret: bool = False):
+    """B independent GF chains in ONE XLA program (one dispatch through the
+    tunnel, B sequential kernel launches on device). `chunk` is [bc, dim]
+    f64 natural flat (bc <= b); padding to the permuted padded f32 layout
+    and the zero-chain batch fill happen inside the jit."""
+    bc = chunk.shape[0]
+    vps = [to_padded(op, chunk[i].reshape(op.dim_dw, op.dim_up))
+           for i in range(bc)]
+    vps += [jnp.zeros(op.padded_shape, jnp.float32)] * (b - bc)
+    with jax.enable_x64(False):
+        als, bes = [], []
+        for i in range(b):
+            al, be = _gf_tridiag_one(op, vps[i], kk, interpret)
+            als.append(al[:, 0])
+            bes.append(be[:, 0])
+        return jnp.stack(als), jnp.stack(bes)
+
+
+GF_CHAIN_BATCH = 8    # chains per jit (compile time grows with the unroll)
+
+
+def gf_tridiag_batch(op: BlockSparseSectorOp, v_batch: jnp.ndarray, m: int,
+                     interpret: bool = False
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched GF tridiagonalization through the fused f32 chain kernel.
+
+    v_batch: [B, dim] f64 flat natural-layout start vectors (normalized);
+    returns (alphas [B, m], betas [B, m]) f64 in the lanczos_tridiag layout
+    (betas[:, 0] = 0) — drop-in for `lanczos_tridiag_batched` where
+    :func:`gf_chain_applicable` holds. Chains are run in chunks of
+    GF_CHAIN_BATCH per dispatch; the last chunk is zero-filled to a power
+    of two (dead chains, exactly-zero tridiagonals) so executables are
+    per (bucket, pow2-B), not per batch size.
+    """
+    kk = _bucket_k(m)
+    b_total = v_batch.shape[0]
+    interp = _auto_interpret(interpret)
+    al_all, be_all = [], []
+    for i0 in range(0, b_total, GF_CHAIN_BATCH):
+        chunk = v_batch[i0:i0 + GF_CHAIN_BATCH]
+        bc = chunk.shape[0]
+        bpad = 1
+        while bpad < bc:
+            bpad *= 2
+        al, be = _gf_batch_call(op, chunk, kk, bpad, interpret=interp)
+        al_all.append(np.asarray(al, np.float64)[:bc])
+        be_all.append(np.asarray(be, np.float64)[:bc])
+    al = np.concatenate(al_all)[:, :m]
+    be_raw = np.concatenate(be_all)
+    betas = np.concatenate(
+        [np.zeros((b_total, 1)), be_raw[:, :m - 1]], axis=1)
+    return al, betas
+
+
 def ground_state_seed(op: BlockSparseSectorOp, m_tri: int = 96,
                       m_cheb: int = 128, seed: int = 17,
                       interpret: bool = False,
@@ -645,8 +869,11 @@ def ground_state_seed(op: BlockSparseSectorOp, m_tri: int = 96,
     them would underestimate lambda_max and blow up the filter).
 
     Returns (theta_min estimate, normalized seed vector in the natural
-    [dim_dw, dim_up] f64 layout). The pad subspace starts exactly zero and
-    stays exactly zero (zero factor rows, to_padded zero-fill), so the
+    [dim_dw, dim_up] f64 layout, eta) where eta is the (conservative,
+    last-measured) estimated angle of the seed to the lowest Ritz
+    direction — the two-stage solver uses it to decide whether the
+    Lanczos top-off can be skipped. The pad subspace starts exactly zero
+    and stays exactly zero (zero factor rows, to_padded zero-fill), so the
     PAD_SHIFT diagonal never enters the bounds.
     """
     if v0 is None:
@@ -656,8 +883,10 @@ def ground_state_seed(op: BlockSparseSectorOp, m_tri: int = 96,
     v = v0
     b_global = None
     theta = None
+    eta = 1.0
     for _ in range(max_rounds):
         theta, b_safe, s00 = _ritz_bounds(op, v, m_tri, interpret)
+        eta = float(np.sqrt(max(1.0 - s00 * s00, 0.0)))
         b_global = b_safe if b_global is None else max(b_global, b_safe)
         if 1.0 - s00 * s00 <= eta_target * eta_target:
             break
@@ -673,4 +902,4 @@ def ground_state_seed(op: BlockSparseSectorOp, m_tri: int = 96,
         v = cheb_chain(op, v, m_cheb, c, e, interpret=interpret)
     vnat = from_padded(op, v, jnp.float64)
     vnat = vnat / jnp.linalg.norm(vnat)
-    return float(theta[0]), vnat
+    return float(theta[0]), vnat, eta

@@ -79,9 +79,13 @@ def op_diag_flat(op) -> jnp.ndarray:
     """Flat diagonal of a sector operator (the DVDSON preconditioner).
 
     Handles every backend op: ELL SectorHamiltonian / DenseSectorOp (with
-    their separate phonon diagonal), DirectSectorOp (phonon ladder diagonal
-    w0*n), BlockSparseSectorOp (natural-order diag)."""
-    d = jnp.asarray(op.diag)
+    their separate phonon diagonal), DirectSectorOp (factored diagonal +
+    phonon ladder diagonal w0*n), BlockSparseSectorOp (natural-order diag)."""
+    if hasattr(op, "diag_a"):                    # DirectSectorOp (factored)
+        from .direct import direct_diag
+        d = direct_diag(op)
+    else:
+        d = jnp.asarray(op.diag)
     if d.ndim == 3:                              # already [P, dd, du]
         return d.reshape(-1)
     ph = getattr(op, "ph_diag", None)

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..bath import Bath, bath_levels
 from ..config import EDConfig
-from ..hamiltonian import _electron_diag
+from ..hamiltonian import _electron_diag_factors
 from ..sectors import Sector, bath_stride
 
 
@@ -54,10 +54,20 @@ def _searchsorted(sorted_states: jnp.ndarray, queries: jnp.ndarray
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DirectSectorOp:
-    """Matrix-free sector operator: states + term lists only."""
+    """Matrix-free sector operator: states + term lists only.
+
+    The electron diagonal is stored FACTORED (separable per-spin pieces +
+    the rank-norb opposite-spin bilinear), never as a full [dd, du] array:
+    diag[i, j] = diag_dw[i] + diag_up[j] + (diag_a @ diag_b.T)[i, j]. That
+    keeps the op's device payload O(dim_dw + dim_up) — the direct backend's
+    whole point (the reference recomputes diagonal terms per state,
+    ED_HAMILTONIAN_DIRECT_HxV.f90 / direct/HxV_local.f90)."""
     states_up: jnp.ndarray        # [du] int32 sorted masks
     states_dw: jnp.ndarray        # [dd] int32
-    diag: jnp.ndarray             # [dd, du] (same memory class as the vector)
+    diag_up: jnp.ndarray          # [du] separable up piece (+ Hartree const)
+    diag_dw: jnp.ndarray          # [dd] separable dw piece
+    diag_a: jnp.ndarray           # [dd, R] bilinear factor (n_dw_imp @ W.T)
+    diag_b: jnp.ndarray           # [du, R] bilinear factor (n_up_imp)
     up_c: jnp.ndarray             # [Tu] int32 creation positions
     up_d: jnp.ndarray             # [Tu] destruction positions
     up_a: jnp.ndarray             # [Tu] amplitudes
@@ -153,7 +163,7 @@ def build_direct_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray, bath: Bath,
     dtype = dtype or jnp.dtype(cfg.ed_dtype)
     bath_diag, diag_hybr, hbath = bath_levels(cfg, bath, h_basis)
     hloc = np.asarray(hloc, dtype=np.float64)
-    diag = _electron_diag(cfg, sec, hloc, bath_diag)
+    e_up, e_dw, a_dw, b_up = _electron_diag_factors(cfg, sec, hloc, bath_diag)
     uc, ud, ua = _collect_terms(cfg, 0, hloc, diag_hybr, hbath)
     dc, dd_, da = _collect_terms(cfg, 1, hloc, diag_hybr, hbath)
 
@@ -191,7 +201,10 @@ def build_direct_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray, bath: Bath,
     return DirectSectorOp(
         states_up=jnp.asarray(sec.states_up[0].astype(np.int32)),
         states_dw=jnp.asarray(sec.states_dw[0].astype(np.int32)),
-        diag=jnp.asarray(diag, dtype=dtype),
+        diag_up=jnp.asarray(e_up, dtype=dtype),
+        diag_dw=jnp.asarray(e_dw, dtype=dtype),
+        diag_a=jnp.asarray(a_dw, dtype=dtype),
+        diag_b=jnp.asarray(b_up, dtype=dtype),
         up_c=jnp.asarray(uc), up_d=jnp.asarray(ud),
         up_a=jnp.asarray(ua, dtype=dtype),
         dw_c=jnp.asarray(dc), dw_d=jnp.asarray(dd_),
@@ -240,12 +253,29 @@ def _row_gather_map(states, c, d):
     return src, jnp.where(ok, sg, 0)
 
 
+def diag_mul(op: DirectSectorOp, v: jnp.ndarray) -> jnp.ndarray:
+    """diag ⊙ v from the factored diagonal, without materializing a stored
+    [dd, du] array: the separable broadcast plus R (= norb, static) fused
+    elementwise rank-1 passes. XLA fuses the whole thing into one kernel."""
+    y = (op.diag_dw[:, None] + op.diag_up[None, :]) * v
+    for r in range(op.diag_a.shape[1]):
+        y = y + op.diag_a[:, r][:, None] * (op.diag_b[:, r][None, :] * v)
+    return y
+
+
+def direct_diag(op: DirectSectorOp) -> jnp.ndarray:
+    """Materialized [dd, du] electron diagonal (preconditioner/oracle use
+    only — O(dim) transient, never stored on the op)."""
+    return (op.diag_dw[:, None] + op.diag_up[None, :]
+            + op.diag_a @ op.diag_b.T)
+
+
 def apply_direct(op: DirectSectorOp, v: jnp.ndarray) -> jnp.ndarray:
     """y = H v, computing the hop connectivity on the fly.
 
     v shaped [DimDw, DimUp] or [DimPh, DimDw, DimUp] (phonon blocks).
     """
-    y = op.diag * v
+    y = diag_mul(op, v)
     y = _apply_direct_factor(op.states_dw, op.dw_c, op.dw_d, op.dw_a, v, y)
     vt = jnp.swapaxes(v, -1, -2)
     yt = _apply_direct_factor(op.states_up, op.up_c, op.up_d, op.up_a, vt,

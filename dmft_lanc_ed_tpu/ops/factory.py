@@ -68,17 +68,19 @@ def _on_accelerator() -> bool:
 
 
 def resolve_backend(cfg: EDConfig) -> str:
-    """ed_backend="auto" resolves per platform: the dense tensor-product
-    MXU formulation on accelerators (where gathers hit the ~96 GB/s wall,
-    BASELINE.md), the stored ELL row-gather on CPU (where BLAS-free sparse
-    streaming wins and dense f64 matmuls are O(dim^1.5) wasted FLOPs).
-    ed_sparse_h=F dials the matrix-free direct backend, as in the
-    reference (ED_INPUT_VARS.f90:151)."""
+    """ed_backend="auto" resolves per platform: the band-sparse fused
+    Pallas kernel on accelerators — the fastest measured backend (199
+    Gnnz/s vs dense 68-116, BASELINE.md round 3), with logged per-sector
+    fallbacks to dense where the kernel does not apply (phonon/Jx-Jp/VMEM,
+    `make_sector_op`) — and the stored ELL row-gather on CPU (where
+    BLAS-free sparse streaming wins and dense f64 matmuls are O(dim^1.5)
+    wasted FLOPs). ed_sparse_h=F dials the matrix-free direct backend, as
+    in the reference (ED_INPUT_VARS.f90:151)."""
     backend = cfg.ed_backend
     if backend == "auto":
         if not cfg.ed_sparse_h:
             return "direct"
-        return "dense" if _on_accelerator() else "ell"
+        return "pallas" if _on_accelerator() else "ell"
     return backend
 
 

@@ -233,15 +233,19 @@ def pad_direct_op(op, n: int):
     pd = ddp - dd
     states_dw = jnp.concatenate(
         [op.states_dw, jnp.full((pd,), PAD_MASK, jnp.int32)])
-    diag = jnp.pad(op.diag, ((0, 0),) * (op.diag.ndim - 2)
-                   + ((0, pd), (0, 0)), constant_values=PAD_SHIFT)
+    # factored diagonal: pad rows get the PAD_SHIFT through the separable dw
+    # piece; their bilinear factor rows are zero (no spurious coupling)
+    diag_dw = jnp.pad(op.diag_dw, (0, pd), constant_values=PAD_SHIFT)
+    diag_a = jnp.pad(op.diag_a, ((0, pd), (0, 0)))
     kw = {}
     for f in ("nd_up_c", "nd_up_d", "nd_dw_c", "nd_dw_d", "nd_a",
               "ph_w0", "ph_g", "ph_n"):
         if getattr(op, f) is not None:
             kw[f] = getattr(op, f)
     return DirectSectorOp(
-        states_up=op.states_up, states_dw=states_dw, diag=diag,
+        states_up=op.states_up, states_dw=states_dw,
+        diag_up=op.diag_up, diag_dw=diag_dw, diag_a=diag_a,
+        diag_b=op.diag_b,
         up_c=op.up_c, up_d=op.up_d, up_a=op.up_a,
         dw_c=op.dw_c, dw_d=op.dw_d, dw_a=op.dw_a, **kw)
 
@@ -264,11 +268,11 @@ jax.tree_util.register_dataclass(
 
 def apply_direct_sharded(sop: ShardedDirectOp, v: jnp.ndarray) -> jnp.ndarray:
     """y = H v with the sharding-sandwich layout choreography."""
-    from ..ops.direct import _apply_direct_factor, _row_gather_map
+    from ..ops.direct import _apply_direct_factor, _row_gather_map, diag_mul
     op = sop.base
     constrain = jax.lax.with_sharding_constraint
     v = constrain(v, sop.row_sh)
-    y = op.diag * v
+    y = diag_mul(op, v)
     # up hops: free-relabel transpose, gather over the unsharded up axis
     vt = jnp.swapaxes(v, -1, -2)
     yt = _apply_direct_factor(op.states_up, op.up_c, op.up_d, op.up_a, vt,
@@ -328,9 +332,12 @@ def shard_direct_op(op, mesh: Mesh, cfg: EDConfig) -> ShardedSectorOp:
               "ph_w0", "ph_g", "ph_n"):
         if getattr(op, f) is not None:
             kw[f] = put(getattr(op, f), rep)
+    row1 = NamedSharding(mesh, P(ax))          # [dd]-shaped factored pieces
+    row2 = NamedSharding(mesh, P(ax, None))    # [dd, R] bilinear factor
     placed = DirectSectorOp(
         states_up=put(op.states_up, rep), states_dw=put(op.states_dw, rep),
-        diag=put(op.diag, row),
+        diag_up=put(op.diag_up, rep), diag_dw=put(op.diag_dw, row1),
+        diag_a=put(op.diag_a, row2), diag_b=put(op.diag_b, rep),
         up_c=put(op.up_c, rep), up_d=put(op.up_d, rep),
         up_a=put(op.up_a, rep),
         dw_c=put(op.dw_c, rep), dw_d=put(op.dw_d, rep),

@@ -16,8 +16,13 @@ def host_device():
     """
     import jax
     try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
+        # local_devices, NOT devices: in multi-process (multi-controller)
+        # runs jax.devices() is the GLOBAL list, and on ranks != 0 its first
+        # cpu entry is process 0's non-addressable device — dispatching to
+        # it tries to create a cross-process Gloo context the other ranks
+        # never join and hangs (30 s DEADLINE_EXCEEDED in process_allgather).
+        cpu = jax.local_devices(backend="cpu")[0]
+    except (RuntimeError, IndexError):
         return contextlib.nullcontext()
     return jax.default_device(cpu)
 

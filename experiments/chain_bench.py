@@ -111,7 +111,7 @@ def main():
 
     # seed quality + timing
     t0 = time.perf_counter()
-    th, seed = ground_state_seed(op)
+    th, seed, _eta = ground_state_seed(op)
     seed.block_until_ready()
     t_seed = time.perf_counter() - t0
     print(f"ground_state_seed: theta0={th:+.9f} in {t_seed:.2f}s", flush=True)

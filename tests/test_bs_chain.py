@@ -76,10 +76,11 @@ def test_ground_state_seed_and_two_stage():
     cfg, sec, h, op = _sector_op()
     dense = ed.dense_hamiltonian(h)
     w, v = np.linalg.eigh(dense)
-    th, seed = ground_state_seed(op, m_tri=24, m_cheb=32)
+    th, seed, eta = ground_state_seed(op, m_tri=24, m_cheb=32)
     ov = abs(np.vdot(np.asarray(seed).ravel(), v[:, 0]))
     assert abs(th - w[0]) < 1e-3
     assert ov > 0.999
+    assert np.sqrt(max(1.0 - ov * ov, 0.0)) <= max(eta, 1e-6) * 3
     from dmft_lanc_ed_tpu.diag import _blocksparse_ground_state
     evals, evecs = _blocksparse_ground_state(cfg, op, sec.dim, 1, 32)
     assert abs(evals[0] - w[0]) < 1e-10
@@ -99,9 +100,92 @@ def test_tridiag_chain_breakdown():
     # out of an eigenvector is ~ the matvec noise floor
     assert abs(al[0] - w[0]) < 1e-3
     assert be[1] < 1e-2
-    th, seed = ground_state_seed(op, m_tri=8, m_cheb=8, v0=to_padded(op, v0))
+    th, seed, _ = ground_state_seed(op, m_tri=8, m_cheb=8,
+                                    v0=to_padded(op, v0))
     ov = abs(np.vdot(np.asarray(seed).ravel(), v[:, 0]))
     assert ov > 0.999
+
+
+def test_gf_tridiag_batch_matches_f64_oracle():
+    """The f32-fidelity GF chain kernel (6-pass HIGHEST over f32 slabs)
+    reproduces the f64 plain-Lanczos tridiagonal to the mixed contract, and
+    the continued-fraction GF it implies matches to ~1e-6."""
+    from dmft_lanc_ed_tpu.ops.bs_chain import (gf_chain_applicable,
+                                               gf_tridiag_batch)
+    from dmft_lanc_ed_tpu.ops.lanczos import tridiag_eigh
+    _, _, h, op = _sector_op()
+    m = 24
+    assert gf_chain_applicable(op, m)
+    rng = jax.random.PRNGKey(11)
+    vs = jax.random.normal(rng, (3, op.dim), jnp.float64)
+    vs = vs / jnp.linalg.norm(vs, axis=1, keepdims=True)
+    al_k, be_k = gf_tridiag_batch(op, vs, m)
+    z = 1j * np.linspace(0.05, 3.0, 20)
+    for i in range(3):
+        alr, ber = lanczos_tridiag(op, vs[i], m, matvec_bs_exact_flat)
+        scale = max(1.0, float(np.max(np.abs(np.asarray(alr)))))
+        # early chain steps carry the f32 contract; late steps of a plain
+        # (non-reorthogonalized) chain diverge between any two precisions
+        # once orthogonality is lost — compare the physical observable too
+        assert np.max(np.abs(al_k[i][:8] - np.asarray(alr)[:8])) \
+            < 5e-5 * scale
+        assert np.max(np.abs(be_k[i][:8] - np.asarray(ber)[:8])) \
+            < 5e-5 * scale
+        # continued-fraction GF from each tridiagonal
+        th_k, s_k = tridiag_eigh(al_k[i], be_k[i])
+        th_r, s_r = tridiag_eigh(np.asarray(alr), np.asarray(ber))
+        g_k = ((s_k[0, :] ** 2)[None, :] / (z[:, None] - th_k)).sum(1)
+        g_r = ((s_r[0, :] ** 2)[None, :] / (z[:, None] - th_r)).sum(1)
+        assert np.max(np.abs(g_k - g_r)) < 2e-5
+
+
+def test_solver_gf_chain_path_matches_dense(monkeypatch):
+    """Full solve with the GF chain kernel forced on (threshold 0) agrees
+    with the dense-backend GF to the mixed-precision contract."""
+    kw = dict(norb=1, nbath=6, uloc=(2.2,), lanc_dim_threshold=16,
+              lmats=64, lreal=8, lanc_ngfiter=48)
+    cfg_d = ed.read_input(None, ed_backend="dense", **kw)
+    cfg_p = ed.read_input(None, ed_backend="pallas",
+                          ed_gf_chain_min_dim=0, **kw)
+    sd = ed.EDSolver(cfg_d)
+    rd = sd.solve(sd.init_bath())
+    sp = ed.EDSolver(cfg_p)
+    rp = sp.solve(sp.init_bath())
+    assert abs(rd.state_list.emin - rp.state_list.emin) < 1e-9
+    # the f32-arithmetic chain carries ~2e-5 RELATIVE GF noise (the chain
+    # recurrence itself runs in f32, unlike the dense path's f64 recurrence
+    # with mixed matvecs) — the documented contract of this path
+    np.testing.assert_allclose(rp.g_mats, rd.g_mats, atol=5e-5, rtol=3e-5)
+    np.testing.assert_allclose(rp.observables.dens, rd.observables.dens,
+                               atol=1e-7)
+
+
+def test_sharded_bs_matvec_matches_serial():
+    """Dw-sharded band-sparse fused matvec (ppermute halo exchange,
+    parallel/bs_sharded.py) == single-chip fused matvec, on a 2-device
+    mesh where the band constraint ntd/n >= d_dw+1 holds."""
+    from dmft_lanc_ed_tpu.ops.blocksparse import _matvec_padded
+    from dmft_lanc_ed_tpu.parallel.bs_sharded import (bs_shard_applicable,
+                                                      make_sharded_bs_matvec)
+    from dmft_lanc_ed_tpu.parallel.mesh import make_mesh
+    # the bench geometry (nbath=11 -> 924x924, padded 1024, ntd=8, band
+    # 224 -> d_dw=2) is the smallest where the RCM band actually clips;
+    # interpret-mode pallas compiles to XLA CPU so one matvec is cheap
+    _, _, h, op = _sector_op(nbath=11, nup=6, ndw=6)
+    ntd = op.padded_shape[0] // 128
+    n = 2
+    if not bs_shard_applicable(op, n):
+        pytest.skip(f"band constraint: ntd={ntd}, d_dw={op.d_dw}")
+    mesh = make_mesh(n)
+    v = jax.random.normal(jax.random.PRNGKey(7),
+                          (op.dim_dw, op.dim_up), jnp.float64)
+    vp = to_padded(op, v / jnp.linalg.norm(v))
+    y_ser, ss_ser = _matvec_padded(op, vp, jnp.float32(1.0), interpret=True)
+    apply_sh, _spec = make_sharded_bs_matvec(op, mesh)
+    y_sh, ss_sh = apply_sh(vp)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ser),
+                               rtol=0, atol=1e-6)
+    assert abs(float(ss_sh) - float(np.sum(np.asarray(ss_ser)))) < 1e-5
 
 
 def test_solver_pallas_backend_uses_chain(monkeypatch):

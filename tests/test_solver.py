@@ -134,3 +134,37 @@ def test_full_ed_matches_lanc_t0():
                                res_lanc.g_mats[0, 0, 0, 0], atol=1e-5)
     assert abs(res_full.observables.dens[0]
                - res_lanc.observables.dens[0]) < 1e-6
+
+
+def test_gf_bucketed_matches_unbucketed():
+    """pow2-bucketed GF/chi target ops (cold-compile control, gf.BucketedOp)
+    change NOTHING numerically: zero-padded chains have identical
+    tridiagonals (invariant pad subspace)."""
+    cfg_off = EDConfig(norb=1, nbath=5, uloc=(2.0,), lanc_dim_threshold=16,
+                       lmats=48, lreal=8, chispin_flag=True,
+                       ed_gf_bucket="off")
+    cfg_on = cfg_off.replace(ed_gf_bucket="on")
+    hloc = np.zeros((1, 1, 1, 1))
+    r_off = EDSolver(cfg_off, hloc).solve(
+        pack_bath(cfg_off, init_bath(cfg_off)))
+    r_on = EDSolver(cfg_on, hloc).solve(pack_bath(cfg_on, init_bath(cfg_on)))
+    np.testing.assert_allclose(r_on.g_mats, r_off.g_mats, atol=1e-12)
+    np.testing.assert_allclose(r_on.sigma_mats, r_off.sigma_mats, atol=1e-9)
+    from dmft_lanc_ed_tpu.solver import bosonic_grid
+    vm = bosonic_grid(cfg_off)
+    x_off = r_off.chi_spin[(0, 0)].matsubara(cfg_off.beta, vm)
+    x_on = r_on.chi_spin[(0, 0)].matsubara(cfg_on.beta, vm)
+    np.testing.assert_allclose(x_on, x_off, atol=1e-12)
+
+
+def test_gf_bucketed_phonon_sector():
+    """Bucketing composes with phonon blocks ([P, dd, du] pad layout)."""
+    cfg_off = EDConfig(norb=1, nbath=4, uloc=(2.0,), nph=2, g_ph=(0.3,),
+                       w0_ph=1.0, lanc_dim_threshold=16, lmats=32, lreal=8,
+                       ed_gf_bucket="off")
+    cfg_on = cfg_off.replace(ed_gf_bucket="on")
+    hloc = np.zeros((1, 1, 1, 1))
+    r_off = EDSolver(cfg_off, hloc).solve(
+        pack_bath(cfg_off, init_bath(cfg_off)))
+    r_on = EDSolver(cfg_on, hloc).solve(pack_bath(cfg_on, init_bath(cfg_on)))
+    np.testing.assert_allclose(r_on.g_mats, r_off.g_mats, atol=1e-12)
