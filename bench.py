@@ -65,7 +65,16 @@ def log(*a):
 # artifact of record was invalid):
 #   * every slope is a least-squares fit over >= 3 chain lengths,
 #   * a measurement is REJECTED and re-taken unless the per-length times
-#     are strictly increasing and the fitted slope is positive,
+#     are strictly increasing, the fitted slope is positive, AND the slope
+#     is above a physical floor (minimum HBM/MXU time the work provably
+#     takes — a "faster than light" fit is a broken measurement, not a
+#     fast kernel; round 4 observed the ELL chain "measure" 1.5e-8 s/mv
+#     = 763 Tnnz/s because jax.block_until_ready returned without waiting),
+#   * every timed program returns a SCALAR and is synced by copying that
+#     scalar to host (`float(...)`) — the only readiness signal this
+#     tunnel provably honors; block_until_ready is never trusted,
+#   * every call gets a distinct `salt` input folded into the start vector
+#     so no runtime result-cache can short-circuit repeated measurements,
 #   * a quantity that stays invalid after MAX_ATTEMPTS re-measurements is
 #     reported as absent (None), never as a garbage number.
 # --------------------------------------------------------------------------
@@ -83,63 +92,85 @@ def _lsq_slope(ns, ts):
     return float(slope)
 
 
-def robust_slope(measure, ns, what=""):
+def robust_slope(measure, ns, what="", floor=0.0):
     """Per-step time via LSQ slope over the lengths `ns`, with rejection:
-    accept only strictly-increasing times and a positive slope; re-measure
-    up to MAX_ATTEMPTS times otherwise; return None if never valid.
-    `measure(n)` returns the best-of-reps wall time for chain length n."""
+    accept only strictly-increasing times and a slope above the physical
+    `floor` (seconds/step the hardware provably cannot beat for this work);
+    re-measure up to MAX_ATTEMPTS times otherwise; return None if never
+    valid. `measure(n)` returns the best-of-reps wall time for length n."""
     for attempt in range(MAX_ATTEMPTS):
         ts = [measure(n) for n in ns]
         monotone = all(t1 < t2 for t1, t2 in zip(ts, ts[1:]))
         slope = _lsq_slope(ns, ts)
-        if monotone and slope > 0.0:
+        if monotone and slope > max(floor, 0.0):
             return slope
         log(f"  slope rejected ({what}, attempt {attempt + 1}/"
             f"{MAX_ATTEMPTS}): times={['%.4f' % t for t in ts]} "
-            f"slope={slope:.3e} — re-measuring")
+            f"slope={slope:.3e} floor={floor:.3e} — re-measuring")
     log(f"  slope measurement FAILED ({what}): no valid (monotone, "
-        "positive) fit — reporting no timing")
+        f"above-floor) fit — reporting no timing")
     return None
 
 
+def _host_sync(x):
+    """The trusted sync: copy a scalar result to host. On this axon
+    version block_until_ready can return before execution finishes
+    (experiments/timing_probe.py: a 10 s stream chain 'ready' in 0.086 ms);
+    an 8-byte device->host read cannot lie about completion."""
+    return float(np.asarray(x).ravel()[0])
+
+
 def _best_of(fn, reps):
+    """Best-of-reps wall time of fn(salt): each call gets a distinct salt
+    so repeated measurements are distinct programs executions (defeats any
+    result caching in the remote-execution layer)."""
     best = 1e30
-    for _ in range(reps):
+    for i in range(reps):
+        salt = 1e-9 * (i + 1)
         t0 = time.perf_counter()
-        fn()
+        _host_sync(fn(salt))
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+# v5e spec ceilings used for physical floors (a measurement implying the
+# hardware beat its own spec is invalid by construction)
+SPEC_BW = 8.19e11           # HBM bytes/s
+SPEC_BF16 = 1.97e14         # bf16 MXU FLOP/s
+FLOOR_SLACK = 2.0           # allow 2x over spec before rejecting
 
 
 def measure_stream_bw(jax, jnp, nbytes=2 ** 27):
     """Measured HBM bandwidth via a two-array recurrence the compiler cannot
     fold (each step reads two arrays and writes one: 3 passes). LSQ
-    slope-timed over 3 chain lengths with rejection; returns None when no
-    valid fit is obtained (the roofline denominator then falls back to the
-    chip-spec floor — it can never see a negative/absurd value again)."""
+    slope-timed over 3 chain lengths with floor rejection; returns None
+    when no valid fit is obtained (the roofline denominator then falls back
+    to the chip-spec floor — it can never see a negative/absurd value)."""
     n = nbytes // 8
     x = jnp.arange(n, dtype=jnp.float64)
     y = jnp.ones(n, dtype=jnp.float64)
 
     def make_run(chain):
         @jax.jit
-        def run(x, y):
+        def run(x, y, salt):
             def step(carry, _):
                 x, y = carry
                 z = 0.5 * x + 0.4999999 * y
                 return (y, z), None
-            (xf, yf), _ = jax.lax.scan(step, (x, y), None, length=chain)
-            return yf
+            (xf, yf), _ = jax.lax.scan(step, (x * (1.0 + salt), y), None,
+                                       length=chain)
+            return yf[0]
         return run
 
     runs = {c: make_run(c) for c in (10, 35, 60)}
     for r in runs.values():
-        r(x, y).block_until_ready()
+        _host_sync(r(x, y, jnp.float64(0.0)))
 
     def measure(c):
-        return _best_of(lambda: runs[c](x, y).block_until_ready(), 3)
+        return _best_of(lambda s: runs[c](x, y, jnp.float64(s)), 3)
 
-    dt = robust_slope(measure, (10, 35, 60), what="stream")
+    floor = 3.0 * nbytes / (SPEC_BW * FLOOR_SLACK)
+    dt = robust_slope(measure, (10, 35, 60), what="stream", floor=floor)
     if dt is None:
         return None
     bw = 3.0 * nbytes / dt
@@ -150,28 +181,37 @@ def measure_stream_bw(jax, jnp, nbytes=2 ** 27):
 CHAIN_NS = (200, 700, 1200)
 
 
-def _chain_slope(jax, make_run, v, reps=3, what=""):
+def _vector_floor(v):
+    """Minimum seconds/step for any matvec chain on vector v: one read +
+    one write of the state vector at FLOOR_SLACK x spec HBM bandwidth
+    (chains whose state stays VMEM-resident pass their own MXU floor
+    instead — see phase_pallas)."""
+    return 2.0 * v.size * v.dtype.itemsize / (SPEC_BW * FLOOR_SLACK)
+
+
+def _chain_slope(jax, make_run, v, reps=3, what="", floor=0.0):
     runs = {n: make_run(n) for n in CHAIN_NS}
     for r in runs.values():
-        r(v).block_until_ready()
+        _host_sync(r(v, 0.0))
 
     def measure(n):
-        return _best_of(lambda: runs[n](v).block_until_ready(), reps)
+        return _best_of(lambda s: runs[n](v, s), reps)
 
-    return robust_slope(measure, CHAIN_NS, what=what)
+    return robust_slope(measure, CHAIN_NS, what=what, floor=floor)
 
 
 def bench_chain(jax, jnp, f, v, reps=3, what=""):
     def make_run(n):
         @jax.jit
-        def run(v):
+        def run(v, salt):
             def step(v, _):
                 w = f(v)
                 return w / jnp.linalg.norm(w), None
-            out, _ = jax.lax.scan(step, v, None, length=n)
-            return out
+            out, _ = jax.lax.scan(step, v * (1.0 + salt), None, length=n)
+            return out.ravel()[0]
         return run
-    return _chain_slope(jax, make_run, v, reps, what=what)
+    return _chain_slope(jax, make_run, v, reps, what=what,
+                        floor=_vector_floor(v))
 
 
 def bench_chain_fused(jax, jnp, step_fn, v0, reps=3, what=""):
@@ -179,15 +219,17 @@ def bench_chain_fused(jax, jnp, step_fn, v0, reps=3, what=""):
     fused into the kernel (the blocksparse chain contract)."""
     def make_run(n):
         @jax.jit
-        def run(v):
+        def run(v, salt):
             def step(carry, _):
                 v, r = carry
                 return step_fn(v, r), None
             (out, _), _ = jax.lax.scan(
-                step, (v, jnp.float32(1.0)), None, length=n)
-            return out
+                step, (v * (1.0 + jnp.float32(salt)), jnp.float32(1.0)),
+                None, length=n)
+            return out.ravel()[0]
         return run
-    return _chain_slope(jax, make_run, v0, reps, what=what)
+    return _chain_slope(jax, make_run, v0, reps, what=what,
+                        floor=_vector_floor(v0))
 
 
 def _setup(cpu=False):
@@ -398,8 +440,8 @@ def phase_pallas(out_path: str, e_ref):
     if chain_applicable(op):
         def make_run(kk):
             @jax.jit
-            def run(v0):
-                v = v0
+            def run(v0, salt):
+                v = v0 * (jnp.float32(1.0) + jnp.float32(salt))
                 al = None
                 for _ in range(CHAIN_M):
                     al, _be = tridiag_call(op, v, kk)
@@ -408,18 +450,24 @@ def phase_pallas(out_path: str, e_ref):
                     # that is exactly 1.0 at runtime but unknown to XLA
                     v = v0 * (jnp.float32(1.0) + jnp.float32(1e-30)
                               * al[0, 0])
-                return al
+                return al[0, 0] + 0.0 * al[kk - 1, 0]
             return run
 
         runs = {kk: make_run(kk) for kk in CHAIN_KS}
         for r in runs.values():
-            jax.block_until_ready(r(vp))
+            _host_sync(r(vp, 0.0))
 
         def measure(kk):
-            return _best_of(
-                lambda: jax.block_until_ready(runs[kk](vp)), 4)
+            return _best_of(lambda s: runs[kk](vp, s), 4)
 
-        slope = robust_slope(measure, CHAIN_KS, what="pallas chain")
+        # per-step floor: the kernel's own MXU speed-of-light (its state is
+        # VMEM-resident so the vector-stream floor does not apply), with
+        # FLOOR_SLACK headroom; amplified by the CHAIN_M launches per jit
+        geom = frag.data["geom"]
+        floor = CHAIN_M * (h.nnz / kernel_roofline_nnz_s(geom, h.nnz)) \
+            / FLOOR_SLACK
+        slope = robust_slope(measure, CHAIN_KS, what="pallas chain",
+                             floor=floor)
         if slope is not None:
             frag.time("pallas", slope / CHAIN_M, h.nnz)
 

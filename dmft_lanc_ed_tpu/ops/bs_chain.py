@@ -64,8 +64,12 @@ from .blocksparse import (BlockSparseSectorOp, _auto_interpret, _dot3,
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 # VMEM gate for the 2-resident-plane chain kernels (v5e ~16 MB/core).
+# BUDGET gates applicability on the *resident* footprint; LIMIT is what the
+# Mosaic scoped allocator may use — it must also cover the per-panel cast /
+# concat temporaries (~1.5 MB above resident on the bench geometry; the
+# round-4 bench compile measured 15.08 MB total, so 15 MB was 80 KB short).
 CHAIN_VMEM_BUDGET = int(13.6 * 1024 * 1024)
-CHAIN_VMEM_LIMIT = 15 * 1024 * 1024
+CHAIN_VMEM_LIMIT = int(15.8 * 1024 * 1024)
 # chain-length buckets (static kernel parameter -> one executable each)
 _K_BUCKETS = (16, 32, 64, 96, 128, 192, 256)
 
