@@ -185,7 +185,8 @@ def main():
         or list(BENCHES)
     settle = int(os.environ.get("BENCH_SETTLE_S", "75"))
     timeout_s = int(os.environ.get("BENCH_MATRIX_TIMEOUT_S", "2400"))
-    for i, name in enumerate(names):
+
+    def one(name):
         cmd = [sys.executable, os.path.abspath(__file__), "--one", name]
         log(f"--- config {name} (timeout {timeout_s}s)")
         try:
@@ -195,9 +196,29 @@ def main():
                 log(f"{name}: exited rc={r.returncode}")
         except subprocess.TimeoutExpired:
             log(f"{name}: timed out")
-        if i + 1 < len(names):
-            log(f"settling the TPU tunnel for {settle}s")
-            time.sleep(settle)
+
+    def recorded():
+        if not os.path.exists(OUT):
+            return set()
+        with open(OUT) as fh:
+            return set(json.load(fh))
+
+    # two sweeps: the axon tunnel can hang a run at a random device_put /
+    # compile (.claude/skills/verify "expect to retry once"); a config lost
+    # to a hang gets exactly one more chance after the others finish
+    for sweep in range(2):
+        todo = [n for n in names
+                if (n + ("_" + ED_BACKEND if ED_BACKEND else ""))
+                not in recorded()]
+        if not todo:
+            break
+        if sweep:
+            log(f"retry sweep for configs lost to tunnel hangs: {todo}")
+        for i, name in enumerate(todo):
+            one(name)
+            if i + 1 < len(todo) or sweep == 0:
+                log(f"settling the TPU tunnel for {settle}s")
+                time.sleep(settle)
     if os.path.exists(OUT):
         with open(OUT) as fh:
             log("BENCH_MATRIX.json:", json.dumps(json.load(fh)))

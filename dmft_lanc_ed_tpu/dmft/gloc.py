@@ -1,16 +1,30 @@
 """Local lattice Green's function (dmft_gloc_matsubara/realaxis analogue).
 
-Two flavors, both vmapped/jitted device kernels:
+Two flavors:
 - :func:`gloc_dos` — DOS integration for orbital-diagonal dispersions
   (Ebands/Dbands form used by the Bethe/square drivers)
 - :func:`gloc_hk`  — k-sum of [(z + mu) - H(k) - Sigma(z)]^-1 for full
-  multi-orbital Hamiltonians (BHZ & co). The [L, Nk] inverse batch is the
-  MXU-heavy path; it is fully batched instead of the reference's double loop.
+  multi-orbital Hamiltonians (BHZ & co), fully batched instead of the
+  reference's double loop.
+
+The inverse batches run on HOST (vectorized LAPACK zgetri via
+np.linalg.inv), on every platform, by design:
+- TPU has NO complex128 support at all (the compile path rejects C128;
+  a complex128 device_put through the axon tunnel HANGS instead of
+  erroring — round-4 finding, .claude/skills/verify), and LuDecomposition
+  supports only F32/C64, so an f64-exact device path needs a c64 seed +
+  Newton-Schulz refinement in split re/im f64 matmuls;
+- that path works (probed: 2e-10 vs LAPACK) but for the nso <= 8
+  matrices of every reference driver it is transfer/VPU-bound and ~20x
+  SLOWER than host LAPACK (experiments: 15.5 s vs 0.76 s warm on the
+  BHZ [1024, 256, 4, 4] batch). The k-sum is O(L Nk nso^3) — negligible
+  next to the ED solve — and the reference itself computes it serially
+  on the master rank (dmft_gloc_matsubara). The device path becomes
+  worthwhile only for large-nlso slab geometries; revisit with the NS
+  kernel if such a driver's Gloc ever dominates a profile.
 """
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -38,13 +52,19 @@ def gloc_dos(ebands: np.ndarray, dbands: np.ndarray, h0: np.ndarray,
     return out
 
 
-@jax.jit
 def _gloc_hk_kernel(hk, zeta_mat):
-    """hk: [Nk, Nso, Nso]; zeta_mat: [L, Nso, Nso] -> gloc [L, Nso, Nso]."""
-    def per_freq(zm):
-        ginv = zm[None, :, :] - hk                          # [Nk, Nso, Nso]
-        return jnp.linalg.inv(ginv).mean(axis=0)
-    return jax.lax.map(per_freq, zeta_mat)
+    """hk: [Nk, Nso, Nso]; zeta_mat: [L, Nso, Nso] -> gloc [L, Nso, Nso].
+
+    Host LAPACK, frequency-blocked so the [Lb, Nk, Nso, Nso] inverse batch
+    stays cache-sized (see module docstring for why not the device)."""
+    L = zeta_mat.shape[0]
+    out = np.empty_like(zeta_mat)
+    blk = max(1, (1 << 22) // max(hk.nbytes, 1))             # ~4 MB steps
+    for i0 in range(0, L, blk):
+        zm = zeta_mat[i0:i0 + blk]
+        out[i0:i0 + blk] = np.linalg.inv(
+            zm[:, None, :, :] - hk[None]).mean(axis=1)
+    return out
 
 
 def gloc_hk(hk: np.ndarray, sigma: np.ndarray, z: np.ndarray,
@@ -59,7 +79,7 @@ def gloc_hk(hk: np.ndarray, sigma: np.ndarray, z: np.ndarray,
     eye = np.eye(nso)
     zeta = ((z + xmu)[:, None, None] * eye[None]
             - sig_so.transpose(2, 0, 1))                     # [L, nso, nso]
-    g_so = np.asarray(_gloc_hk_kernel(jnp.asarray(hk), jnp.asarray(zeta)))
+    g_so = _gloc_hk_kernel(np.asarray(hk), zeta)
     g = g_so.transpose(1, 2, 0).reshape(nspin, norb, nspin, norb, L)
     return g.transpose(0, 2, 1, 3, 4)
 
@@ -84,17 +104,9 @@ def gloc_blocks(hk: np.ndarray, sigma_ii: np.ndarray, z: np.ndarray,
         o = il * nso
         blk = sigma_ii[il].transpose(0, 2, 1, 3, 4).reshape(nso, nso, L)
         sig_lso[:, o:o + nso, o:o + nso] = blk.transpose(2, 0, 1)
-    hkj = jnp.asarray(hk)
-    eye = jnp.eye(nlso, dtype=jnp.complex128)
-
-    @jax.jit
-    def _kernel(zeta):
-        def per_freq(zm):
-            return jnp.linalg.inv(zm[None] - hkj).mean(axis=0)
-        return jax.lax.map(per_freq, zeta)
-
+    eye = np.eye(nlso, dtype=np.complex128)
     zeta = (z + xmu)[:, None, None] * eye[None] - sig_lso
-    g_lso = np.asarray(_kernel(jnp.asarray(zeta)))
+    g_lso = _gloc_hk_kernel(np.asarray(hk), zeta)
     out = np.zeros_like(sigma_ii)
     for il in range(nlat):
         o = il * nso
