@@ -152,11 +152,59 @@ def bench_bhz_replica():
     return _one_iteration(cfg, hloc, _Solver, fit_fn, weiss_of)
 
 
+def bench_gs854k():
+    """Backend A/B on the workload the backends differ on: a full warm
+    ground-state solve of the 854k bench sector (nbath=11), production
+    pallas path (_blocksparse_ground_state: fused chain seed + mixed
+    top-off skip + f64 polish) vs the dense MXU path (thick-restart
+    mixed Lanczos + f64 polish). VERDICT r3 item 3's "pallas beats dense
+    in a full solve" evidence — the four DMFT configs above never reach
+    the serial big-sector path (their largest sector is 63.5k, under
+    ed_batch_dim_max)."""
+    import jax.numpy as jnp
+    from dmft_lanc_ed_tpu.config import EDConfig
+    from dmft_lanc_ed_tpu.diag import _blocksparse_ground_state, _lanc_tol
+    from dmft_lanc_ed_tpu.bath import init_bath
+    from dmft_lanc_ed_tpu.sectors import SectorTable, qn
+    from dmft_lanc_ed_tpu.ops.blocksparse import build_blocksparse_op
+    from dmft_lanc_ed_tpu.ops.dense import (build_dense_op,
+                                            matvec_dense_flat,
+                                            matvec_dense_mixed_flat)
+    from dmft_lanc_ed_tpu.ops.lanczos import lanczos_ground_state
+
+    cfg = EDConfig(norb=1, nbath=11, uloc=(2.0,), ed_dtype="float64")
+    sec = SectorTable(cfg).sector(qn(6, 6))
+    bath = init_bath(cfg)
+    hloc = np.zeros((1, 1, 1, 1))
+    from dmft_lanc_ed_tpu.hamiltonian import build_sector_hamiltonian
+    h = build_sector_hamiltonian(cfg, sec, hloc, bath)
+    out = {"dim": sec.dim}
+
+    bs_op = build_blocksparse_op(h)
+    for it in ("cold", "warm"):
+        t0 = time.perf_counter()
+        e_p, _ = _blocksparse_ground_state(cfg, bs_op, sec.dim, 1, ncv=48)
+        out[f"pallas_{it}_s"] = round(time.perf_counter() - t0, 3)
+    out["pallas_egs"] = float(e_p[0])
+
+    dop = build_dense_op(cfg, sec, hloc, bath)
+    for it in ("cold", "warm"):
+        t0 = time.perf_counter()
+        e_d, _ = lanczos_ground_state(
+            dop, matvec_dense_mixed_flat, sec.dim, 1, ncv=48, tol=3e-6,
+            polish_apply=matvec_dense_flat)
+        out[f"dense_{it}_s"] = round(time.perf_counter() - t0, 3)
+    out["dense_egs"] = float(e_d[0])
+    out["egs_diff"] = abs(out["pallas_egs"] - out["dense_egs"])
+    return out
+
+
 BENCHES = {
     "bethe4": lambda: bench_bethe(4),
     "bethe9": lambda: bench_bethe(9),
     "hund2b": bench_hund2b,
     "bhz_replica": bench_bhz_replica,
+    "gs854k": bench_gs854k,
 }
 
 
@@ -204,15 +252,18 @@ def main():
             return set(json.load(fh))
 
     # two sweeps: the axon tunnel can hang a run at a random device_put /
-    # compile (.claude/skills/verify "expect to retry once"); a config lost
-    # to a hang gets exactly one more chance after the others finish
+    # compile (.claude/skills/verify "expect to retry once"). Sweep 0 runs
+    # every requested config (re-recording over stale entries); sweep 1
+    # retries only configs that still have no entry (lost to a hang).
     for sweep in range(2):
-        todo = [n for n in names
-                if (n + ("_" + ED_BACKEND if ED_BACKEND else ""))
-                not in recorded()]
-        if not todo:
-            break
-        if sweep:
+        if sweep == 0:
+            todo = list(names)
+        else:
+            todo = [n for n in names
+                    if (n + ("_" + ED_BACKEND if ED_BACKEND else ""))
+                    not in recorded()]
+            if not todo:
+                break
             log(f"retry sweep for configs lost to tunnel hangs: {todo}")
         for i, name in enumerate(todo):
             one(name)

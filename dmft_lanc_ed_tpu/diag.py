@@ -178,18 +178,22 @@ def _blocksparse_ground_state(cfg: EDConfig, op, dim: int, neigen: int,
             # the Lanczos top-off is reorth-bound (CGS2 re-reads the whole
             # ncv-vector basis every step — ROUND3_NOTES #3); with a seed
             # this good the self-tuning f64 Rayleigh-Ritz polish alone
-            # reaches f64 (each round squares the error), at ~20 f64
-            # matvecs instead of ncv mixed matvecs + the reorth wall. A
-            # residual check guards the shortcut — on failure fall through
-            # to the full top-off.
+            # reaches f64 at ~tens of f64 matvecs instead of ncv mixed
+            # matvecs + the reorth wall. The measured per-refine-call
+            # error contraction is ~500x (3 rounds x ~8), so a couple of
+            # guarded calls take eta 1e-4 to the 1e-7-residual bar; on
+            # persistent failure fall through to the full top-off with
+            # the best vector found.
             from .ops.lanczos import refine_eigenpairs
-            vals, vecs = refine_eigenpairs(op, matvec_bs_exact_flat,
-                                           seed.reshape(1, -1))
-            r = matvec_bs_exact_flat(op, vecs[0]) - vals[0] * vecs[0]
-            if float(jnp.linalg.norm(r)) <= 1e-7 * max(1.0, abs(vals[0])):
-                return (np.asarray(vals),
-                        np.asarray(vecs).reshape(1, -1))
-            seed = jnp.asarray(vecs[0]).reshape(-1)
+            for _ in range(3):
+                vals, vecs = refine_eigenpairs(op, matvec_bs_exact_flat,
+                                               seed.reshape(1, -1))
+                r = matvec_bs_exact_flat(op, vecs[0]) - vals[0] * vecs[0]
+                seed = jnp.asarray(vecs[0]).reshape(-1)
+                if float(jnp.linalg.norm(r)) <= 1e-7 * max(1.0,
+                                                           abs(vals[0])):
+                    return (np.asarray(vals),
+                            np.asarray(vecs).reshape(1, -1))
     else:
         v0n = jax.random.normal(jax.random.PRNGKey(17),
                                 (op.dim_dw, op.dim_up), jnp.float64)

@@ -320,44 +320,91 @@ def refine_eigenpairs(op, op_apply: Callable, vecs: jnp.ndarray,
     return vals, vecs
 
 
-def _refine_once(op, op_apply: Callable, vecs: jnp.ndarray, steps: int
-                 ) -> Tuple[np.ndarray, jnp.ndarray]:
+_DROP_PIN = 1.0e12     # projected-diagonal pin for rank-dropped directions
+
+
+@partial(jax.jit, static_argnames=("steps", "op_apply"))
+def _refine_project(op, vecs, steps: int, op_apply: Callable):
+    """Device half 1 of the polish: block power basis + CGS2 + projection.
+
+    ONE dispatch (round-4 fix: the eager per-vector loops with float()
+    syncs cost ~40 tunnel round-trips per polish — the dominant warm-diag
+    wall at nbath=9, 66 sectors x rounds x 24 ms dispatch latency).
+    Numerically identical to the loop it replaces: candidates are
+    orthogonalized by two classical GS passes against every previously
+    accepted vector; a candidate whose orthogonal remainder falls below
+    1e-10 of its own norm is rank-dropped — here its slot becomes an
+    exact-zero row (projecting against it is a no-op) and its projected
+    diagonal is pinned at +_DROP_PIN so it can never appear among the
+    lowest-k Ritz pairs. H is applied to ORTHONORMALIZED vectors only
+    (the round-3 Gram-whitening bug stays fixed: the basis never carries
+    the ||H||^(2 steps) dynamic range).
+
+    Returns (b_mat [r, *vshape], a_mat [r, r], ok [r]) with
+    r = (steps+1)*k.
+    """
     vecs = jnp.asarray(vecs, jnp.float64)   # f32-chain starts promote here
     k = vecs.shape[0]
-    nd = vecs.ndim - 1
-    axes = tuple(range(1, nd + 1))
+    vshape = vecs.shape[1:]
+    axes = tuple(range(len(vshape)))
 
-    basis = []          # orthonormal f64 vectors, natural shape
-    frontier = []       # per-input-chain latest H-power vector
-    for j in range(k):
-        frontier.append(vecs[j])
-    for step in range(steps + 1):
-        new_frontier = []
-        for j in range(len(frontier)):
-            cand = frontier[j]
-            if step < steps:
-                new_frontier.append(None)   # filled after orth below
-            w = cand
-            for _ in range(2):              # CGS2 against accepted basis
-                for b in basis:
-                    w = w - jnp.vdot(b, w) * b
-            nrm = float(jnp.linalg.norm(w))
-            cand_nrm = float(jnp.linalg.norm(cand))
-            if nrm > 1e-10 * max(cand_nrm, 1.0):
-                b_new = w / nrm
-                basis.append(b_new)
-                if step < steps:
-                    new_frontier[j] = op_apply(op, b_new).reshape(cand.shape)
-        frontier = [f for f in new_frontier if f is not None]
-        if not frontier and step < steps:
-            break
-    b_mat = jnp.stack(basis)                 # [r, *vshape] orthonormal
-    hb = jnp.stack([op_apply(op, b_mat[j]).reshape(b_mat[j].shape)
-                    for j in range(b_mat.shape[0])])
-    a_mat = np.asarray(jnp.tensordot(b_mat, hb, axes=[axes, axes]))
+    rows, oks, h_of_row = [], [], {}
+
+    def cgs2(w):
+        for _ in range(2):
+            for b in rows:
+                w = w - jnp.tensordot(b, w, axes=[axes, axes]) * b
+        return w
+
+    def accept(cand):
+        cand_nrm = jnp.linalg.norm(cand)
+        w = cgs2(cand)
+        nrm = jnp.linalg.norm(w)
+        ok = nrm > 1e-10 * jnp.maximum(cand_nrm, 1.0)
+        b = jnp.where(ok, w / jnp.where(ok, nrm, 1.0), jnp.zeros_like(w))
+        rows.append(b)
+        oks.append(ok)
+        return len(rows) - 1
+
+    frontier = [accept(vecs[j]) for j in range(k)]
+    for step in range(steps):
+        nxt = []
+        for idx in frontier:
+            hv = op_apply(op, rows[idx]).reshape(vshape)
+            h_of_row[idx] = hv        # H b computed once, reused for A
+            nxt.append(accept(hv))
+        frontier = nxt
+    r = len(rows)
+    for i in range(r):                # last-level rows still need H b
+        if i not in h_of_row:
+            h_of_row[i] = op_apply(op, rows[i]).reshape(vshape)
+
+    b_mat = jnp.stack(rows)
+    hb = jnp.stack([h_of_row[i] for i in range(r)])
+    okv = jnp.stack(oks)
+    full_axes = tuple(a + 1 for a in axes)
+    a_mat = jnp.tensordot(b_mat, hb, axes=[full_axes, full_axes])
     a_mat = 0.5 * (a_mat + a_mat.T)
-    vals, s = np.linalg.eigh(a_mat)
-    vecs_out = jnp.tensordot(jnp.asarray(s[:, :k]).T, b_mat, axes=1)
+    a_mat = jnp.where(okv[:, None] & okv[None, :], a_mat, 0.0) \
+        + jnp.diag(jnp.where(okv, 0.0, _DROP_PIN))
+    return b_mat, a_mat, okv
+
+
+@jax.jit
+def _refine_combine(s_cols, b_mat):
+    """Device half 2: Ritz rotation + renormalization (one dispatch)."""
+    k = s_cols.shape[1]
+    nd = b_mat.ndim - 1
+    vecs_out = jnp.tensordot(s_cols.T, b_mat, axes=1)
     nrm = jnp.sqrt(jnp.sum(vecs_out.reshape(k, -1) ** 2, axis=1))
-    vecs_out = vecs_out / nrm.reshape((k,) + (1,) * nd)
+    return vecs_out / nrm.reshape((k,) + (1,) * nd)
+
+
+def _refine_once(op, op_apply: Callable, vecs: jnp.ndarray, steps: int
+                 ) -> Tuple[np.ndarray, jnp.ndarray]:
+    k = vecs.shape[0]
+    b_mat, a_mat, _ = _refine_project(op, jnp.asarray(vecs, jnp.float64),
+                                      steps, op_apply)
+    vals, s = np.linalg.eigh(np.asarray(a_mat))   # tiny r x r, host LAPACK
+    vecs_out = _refine_combine(jnp.asarray(s[:, :k]), b_mat)
     return vals[:k], vecs_out
