@@ -44,11 +44,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _tile_masks(op):
+    """Host: which 128x128 tiles inside the band windows are nonzero."""
+    ddp, dup = op.padded_shape
+    ntd, ntu = ddp // 128, dup // 128
+    ntw_d, ntw_u = op.w_dw // 128, op.w_up // 128
+    dw = np.abs(np.asarray(op.dw_hi, np.float32)).reshape(ntd, 128, op.w_dw) \
+        + np.abs(np.asarray(op.dw_lo, np.float32)).reshape(ntd, 128, op.w_dw)
+    up = np.abs(np.asarray(op.up_hi, np.float32)) \
+        + np.abs(np.asarray(op.up_lo, np.float32))        # [ntu, w_up, 128]
+    dwm = np.zeros((ntd, ntw_d), np.int32)
+    upm = np.zeros((ntu, ntw_u), np.int32)
+    for i in range(ntd):
+        for wt in range(ntw_d):
+            dwm[i, wt] = dw[i, :, wt * 128:(wt + 1) * 128].max() > 0
+    for j in range(ntu):
+        for wt in range(ntw_u):
+            upm[j, wt] = up[j, wt * 128:(wt + 1) * 128, :].max() > 0
+    return jnp.asarray(dwm), jnp.asarray(upm)
+
+
 def make_variant(op, mode):
     d_dw, w_dw, d_up, w_up = op.d_dw, op.w_dw, op.d_up, op.w_up
     ddp, dup = op.padded_shape
     ntd, ntu = ddp // 128, dup // 128
     bf16pair = mode == "bf16pair"
+    tileskip = mode == "tileskip"
 
     def dots(xh, xl, ah, al):
         if mode == "1pass":
@@ -56,7 +77,12 @@ def make_variant(op, mode):
         return _dot3(xh, xl, ah, al)
 
     def kernel(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref, a_ref, b_ref,
-               alphas_ref, betas_ref, *bufs, kk):
+               *rest, kk):
+        if tileskip:
+            dwm_ref, upm_ref, alphas_ref, betas_ref, *bufs = rest
+        else:
+            dwm_ref = upm_ref = None
+            alphas_ref, betas_ref, *bufs = rest
         if bf16pair:
             vhi, vlo, st, sem = bufs
         else:
@@ -122,16 +148,42 @@ def make_variant(op, mode):
                     w_hi = wrow.astype(jnp.bfloat16)
                     w_lo = (wrow - w_hi.astype(jnp.float32)) \
                         .astype(jnp.bfloat16)
-                acc = acc + dots(
-                    dwhi_ref[pl.ds(i * 128, 128), wt * 128:(wt + 1) * 128],
-                    dwlo_ref[pl.ds(i * 128, 128), wt * 128:(wt + 1) * 128],
-                    w_hi, w_lo)
+                if tileskip:
+                    def dw_do(a, _wt=wt, _w_hi=w_hi, _w_lo=w_lo, _i=i):
+                        return a + dots(
+                            dwhi_ref[pl.ds(_i * 128, 128),
+                                     _wt * 128:(_wt + 1) * 128],
+                            dwlo_ref[pl.ds(_i * 128, 128),
+                                     _wt * 128:(_wt + 1) * 128],
+                            _w_hi, _w_lo)
+                    acc = jax.lax.cond(dwm_ref[i, wt] > 0, dw_do,
+                                       lambda a: a, acc)
+                else:
+                    acc = acc + dots(
+                        dwhi_ref[pl.ds(i * 128, 128),
+                                 wt * 128:(wt + 1) * 128],
+                        dwlo_ref[pl.ds(i * 128, 128),
+                                 wt * 128:(wt + 1) * 128],
+                        w_hi, w_lo)
             up_parts = []
             for j in range(ntu):
                 s = min(max((j - d_up) * 128, 0), dup - w_up)
-                up_parts.append(dots(vb_hi[:, s:s + w_up],
-                                     vb_lo[:, s:s + w_up],
-                                     uphi_ref[j], uplo_ref[j]))
+                if tileskip:
+                    part = jnp.zeros((128, 128), jnp.float32)
+                    for wt in range(w_up // 128):
+                        def up_do(a, _j=j, _wt=wt, _s=s):
+                            return a + dots(
+                                vb_hi[:, _s + _wt * 128:_s + (_wt + 1) * 128],
+                                vb_lo[:, _s + _wt * 128:_s + (_wt + 1) * 128],
+                                uphi_ref[_j, _wt * 128:(_wt + 1) * 128, :],
+                                uplo_ref[_j, _wt * 128:(_wt + 1) * 128, :])
+                        part = jax.lax.cond(upm_ref[j, wt] > 0, up_do,
+                                            lambda a: a, part)
+                    up_parts.append(part)
+                else:
+                    up_parts.append(dots(vb_hi[:, s:s + w_up],
+                                         vb_lo[:, s:s + w_up],
+                                         uphi_ref[j], uplo_ref[j]))
             acc = acc + (up_parts[0] if ntu == 1
                          else jnp.concatenate(up_parts, axis=1))
             y = s_cur * acc
@@ -179,6 +231,17 @@ def make_variant(op, mode):
                    pltpu.SMEM((8,), jnp.float32),
                    pltpu.SemaphoreType.DMA]
 
+    extra_specs, extra_inputs = [], ()
+    if tileskip:
+        dwm, upm = _tile_masks(op)
+        extra_specs = [
+            pl.BlockSpec((ntd, w_dw // 128), lambda *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ntu, w_up // 128), lambda *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        extra_inputs = (dwm, upm)
+
     @partial(jax.jit, static_argnames=("kk",))
     def call(v32p, kk):
         with jax.enable_x64(False):
@@ -186,7 +249,7 @@ def make_variant(op, mode):
             return pl.pallas_call(
                 kern,
                 grid=(kk,),
-                in_specs=bsc._chain_specs(op, ddp, dup),
+                in_specs=bsc._chain_specs(op, ddp, dup) + extra_specs,
                 out_specs=[
                     pl.BlockSpec((kk, 1), lambda *_: (0, 0),
                                  memory_space=pltpu.SMEM),
@@ -200,7 +263,7 @@ def make_variant(op, mode):
                 scratch_shapes=scratch,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=bsc.CHAIN_VMEM_LIMIT),
-            )(*bsc._chain_inputs(op, v32p))
+            )(*bsc._chain_inputs(op, v32p), *extra_inputs)
     return call
 
 
@@ -214,7 +277,7 @@ def main():
                           jnp.float64)
     vp = to_padded(op, v / jnp.linalg.norm(v))
     M = 8
-    for mode in ("3pass", "1pass", "bf16pair", "nop1"):
+    for mode in ("3pass", "tileskip"):
         call = make_variant(op, mode)
 
         def make_run(kk):
