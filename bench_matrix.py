@@ -38,6 +38,12 @@ def _cfg_kw():
 
 
 def record(name, entry):
+    # run-id stamp: BENCH_MATRIX.json persists across runs (and rounds), so
+    # the retry sweep must distinguish "recorded by THIS run" from a stale
+    # entry left by a previous one (ADVICE r4: a config that hung in sweep 0
+    # was skipped by sweep 1 because its old entry looked present)
+    if os.environ.get("BENCH_RUN_ID"):
+        entry["run_id"] = os.environ["BENCH_RUN_ID"]
     data = {}
     if os.path.exists(OUT):
         with open(OUT) as fh:
@@ -233,6 +239,8 @@ def main():
         or list(BENCHES)
     settle = int(os.environ.get("BENCH_SETTLE_S", "75"))
     timeout_s = int(os.environ.get("BENCH_MATRIX_TIMEOUT_S", "2400"))
+    run_id = os.environ.setdefault("BENCH_RUN_ID",
+                                   time.strftime("%Y%m%d-%H%M%S"))
 
     def one(name):
         cmd = [sys.executable, os.path.abspath(__file__), "--one", name]
@@ -246,10 +254,14 @@ def main():
             log(f"{name}: timed out")
 
     def recorded():
+        """Names recorded BY THIS RUN (stale entries from previous runs do
+        not count — ADVICE r4)."""
         if not os.path.exists(OUT):
             return set()
         with open(OUT) as fh:
-            return set(json.load(fh))
+            data = json.load(fh)
+        return {k for k, v in data.items()
+                if isinstance(v, dict) and v.get("run_id") == run_id}
 
     # two sweeps: the axon tunnel can hang a run at a random device_put /
     # compile (.claude/skills/verify "expect to retry once"). Sweep 0 runs

@@ -46,9 +46,6 @@ def kinetic_energy_hk(hk: np.ndarray, sigma_mats: np.ndarray,
     hk: [Nk, Nso, Nso]; sigma_mats in the reference [nspin,nspin,norb,
     norb,L] layout; spin degeneracy applied when nspin == 1.
     """
-    import jax
-    import jax.numpy as jnp
-
     nspin, _, norb, _, L = sigma_mats.shape
     nso = nspin * norb
     spin_deg = 2.0 / nspin
@@ -56,25 +53,23 @@ def kinetic_energy_hk(hk: np.ndarray, sigma_mats: np.ndarray,
     sig_inf = sig_so[..., -1].real
     z = 1j * wm
     eye = np.eye(nso)
-    hkj = jnp.asarray(hk)
-
-    @jax.jit
-    def _accum(zeta_dyn, zeta_tail):
-        def per_freq(args):
-            zd, zt = args
-            g = jnp.linalg.inv(zd[None] - hkj)
-            gt = jnp.linalg.inv(zt[None] - hkj)
-            # Tr[Hk (G - Gt)] summed over k
-            return jnp.einsum("kij,kji->", hkj, (g - gt).real).real
-        return jax.lax.map(per_freq, (zeta_dyn, zeta_tail)).sum()
 
     zeta_dyn = ((z + xmu)[:, None, None] * eye[None]
                 - sig_so.transpose(2, 0, 1))
     zeta_tail = ((z + xmu)[:, None, None] * eye[None]
                  - sig_inf[None])
     nk = hk.shape[0]
-    ekin = spin_deg * (2.0 / beta) / nk * float(
-        _accum(jnp.asarray(zeta_dyn), jnp.asarray(zeta_tail)))
+    # host LAPACK by design: TPU has no complex128 (a c128 device_put
+    # through the tunnel hangs — .claude/skills/verify); frequency-blocked
+    # like dmft.gloc._gloc_hk_kernel so the [Lb, Nk, nso, nso] batch stays
+    # cache-sized
+    acc = 0.0
+    blk = max(1, (1 << 22) // max(hk.nbytes, 1))
+    for i0 in range(0, L, blk):
+        g = np.linalg.inv(zeta_dyn[i0:i0 + blk, None] - hk[None])
+        gt = np.linalg.inv(zeta_tail[i0:i0 + blk, None] - hk[None])
+        acc += float(np.einsum("kij,lkji->", hk, (g - gt).real).real)
+    ekin = spin_deg * (2.0 / beta) / nk * acc
     # exact tail: eigenbasis of the static Hamiltonian per k
     hstat = hk + sig_inf[None] - xmu * eye[None]
     w, v = np.linalg.eigh(hstat)

@@ -78,25 +78,19 @@ def gloc_layers(hk: np.ndarray, sigma_ii: np.ndarray, z: np.ndarray,
         for s in range(2):
             sig_so[:, o + 2 * s:o + 2 * s + 2, o + 2 * s:o + 2 * s + 2] = \
                 sigma_ii[l, s, s].transpose(2, 0, 1)
-    import jax
-    import jax.numpy as jnp
-
-    hkj = jnp.asarray(hk)
-    eye = jnp.eye(nso, dtype=jnp.complex128)
-
-    @jax.jit
-    def per_freq(zi, sig):
-        ginv = (zi + xmu) * eye[None] - hkj - sig[None]
-        return jnp.linalg.inv(ginv).mean(axis=0)
-
+    # host LAPACK by design: TPU has no complex128 (a c128 device_put
+    # through the tunnel hangs forever — .claude/skills/verify); same
+    # frequency-blocked kernel as dmft.gloc.gloc_hk
+    from ..dmft.gloc import _gloc_hk_kernel
+    zeta = ((np.asarray(z)[:, None, None] + xmu) * np.eye(nso)[None]
+            - sig_so)                                   # [L, nso, nso]
+    g_all = _gloc_hk_kernel(np.asarray(hk), zeta)
     out = np.zeros_like(sigma_ii)
-    for i in range(L):
-        g = np.asarray(per_freq(z[i], jnp.asarray(sig_so[i])))
-        for l in range(ly):
-            o = 4 * l
-            for s in range(2):
-                out[l, s, s, :, :, i] = g[o + 2 * s:o + 2 * s + 2,
-                                          o + 2 * s:o + 2 * s + 2]
+    for l in range(ly):
+        o = 4 * l
+        for s in range(2):
+            out[l, s, s] = g_all[:, o + 2 * s:o + 2 * s + 2,
+                                 o + 2 * s:o + 2 * s + 2].transpose(1, 2, 0)
     return out
 
 

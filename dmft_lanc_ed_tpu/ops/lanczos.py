@@ -392,11 +392,18 @@ def _refine_project(op, vecs, steps: int, op_apply: Callable):
 
 @jax.jit
 def _refine_combine(s_cols, b_mat):
-    """Device half 2: Ritz rotation + renormalization (one dispatch)."""
+    """Device half 2: Ritz rotation + renormalization (one dispatch).
+
+    The norm is clamped away from zero: if rank-drop left fewer valid
+    basis rows than requested pairs, the lowest-k Ritz columns can include
+    a _DROP_PIN direction whose rotated vector is exactly zero — the clamp
+    keeps it a (useless but finite) zero vector instead of NaN; the caller
+    detects the case from the pinned eigenvalue (ADVICE r4)."""
     k = s_cols.shape[1]
     nd = b_mat.ndim - 1
     vecs_out = jnp.tensordot(s_cols.T, b_mat, axes=1)
     nrm = jnp.sqrt(jnp.sum(vecs_out.reshape(k, -1) ** 2, axis=1))
+    nrm = jnp.maximum(nrm, jnp.asarray(1e-200, nrm.dtype))
     return vecs_out / nrm.reshape((k,) + (1,) * nd)
 
 
@@ -406,5 +413,12 @@ def _refine_once(op, op_apply: Callable, vecs: jnp.ndarray, steps: int
     b_mat, a_mat, _ = _refine_project(op, jnp.asarray(vecs, jnp.float64),
                                       steps, op_apply)
     vals, s = np.linalg.eigh(np.asarray(a_mat))   # tiny r x r, host LAPACK
+    if vals[k - 1] >= 0.5 * _DROP_PIN:
+        # degenerate projected basis: fewer valid directions than requested
+        # pairs — surface it instead of returning a silent zero vector
+        import logging
+        logging.getLogger("dmft_lanc_ed_tpu").warning(
+            "refine_eigenpairs: rank-dropped basis leaves < %d valid "
+            "directions (pinned Ritz value present); results truncated", k)
     vecs_out = _refine_combine(jnp.asarray(s[:, :k]), b_mat)
     return vals[:k], vecs_out
