@@ -157,11 +157,31 @@ def _blocksparse_ground_state(cfg: EDConfig, op, dim: int, neigen: int,
     The top-off is necessary, not cosmetic: the polish *squares* the
     subspace error but cannot improve the subspace across a small spectral
     gap, so stage 1 must deliver a good subspace and the split-bf16 chains
-    plateau around eta ~ 1e-3..3e-4 (measured on the 854k sector)."""
-    from .ops.blocksparse import (from_padded, matvec_bs_exact_flat,
-                                  matvec_bs_flat, matvec_bs_padded,
+    plateau around eta ~ 1e-3..3e-4 (measured on the 854k sector).
+
+    Every device program here runs in the PERMUTED PADDED space on the
+    op's :class:`~.ops.blocksparse.BsPaddedOp` half (round-5 compile-key
+    discipline): executables key on the padded geometry, which sectors
+    share, not on per-sector natural dims — the round-4 cold-diag wall
+    (bethe9: 908 s, one tridiag/cheb/refine executable set PER SECTOR)
+    was exactly those natural-dim jit keys. The single natural-order
+    conversion happens on the final eigenvectors."""
+    from .ops.blocksparse import (from_padded, matvec_bs_exact_padded,
+                                  matvec_bs_mixed_padded, matvec_bs_padded,
                                   to_padded)
     from .ops.bs_chain import chain_applicable, ground_state_seed
+    pop = op.pop
+    pshape = pop.padded_shape
+
+    def unpad_all(vals, vecs_p):
+        """Padded Ritz vectors -> natural flat, renormalized (pad weight
+        is ~0: the pad block is exactly decoupled and +PAD_SHIFT away)."""
+        out = []
+        for v in np.asarray(vecs_p).reshape(-1, *pshape):
+            vn = np.asarray(from_padded(op, jnp.asarray(v), jnp.float64))
+            out.append(vn.reshape(-1) / np.linalg.norm(vn))
+        return np.asarray(vals), np.stack(out)
+
     if use_chain is None:
         use_chain = chain_applicable(op)
     if use_chain:
@@ -171,9 +191,11 @@ def _blocksparse_ground_state(cfg: EDConfig, op, dim: int, neigen: int,
         # ground_state_seed iterates filter rounds, so a shorter filter per
         # round costs extra rounds, not convergence.
         from .ops.bs_chain import _K_BUCKETS
-        theta0, seed_nat, eta = ground_state_seed(
-            op, m_tri=96, m_cheb=min(2 * max(ncv, 64), _K_BUCKETS[-1]))
-        seed = jnp.asarray(seed_nat).reshape(-1)
+        theta0, seed_p, eta = ground_state_seed(
+            op, m_tri=96, m_cheb=min(2 * max(ncv, 64), _K_BUCKETS[-1]),
+            return_padded=True)
+        seed = jnp.asarray(seed_p, jnp.float64)
+        seed = seed / jnp.linalg.norm(seed)
         if neigen == 1 and eta <= 3e-3:
             # the Lanczos top-off is reorth-bound (CGS2 re-reads the whole
             # ncv-vector basis every step — ROUND3_NOTES #3); with a seed
@@ -186,29 +208,28 @@ def _blocksparse_ground_state(cfg: EDConfig, op, dim: int, neigen: int,
             # the best vector found.
             from .ops.lanczos import refine_eigenpairs
             for _ in range(3):
-                vals, vecs = refine_eigenpairs(op, matvec_bs_exact_flat,
-                                               seed.reshape(1, -1))
-                r = matvec_bs_exact_flat(op, vecs[0]) - vals[0] * vecs[0]
-                seed = jnp.asarray(vecs[0]).reshape(-1)
+                vals, vecs = refine_eigenpairs(pop, matvec_bs_exact_padded,
+                                               seed[None])
+                r = matvec_bs_exact_padded(pop, vecs[0]) \
+                    - vals[0] * vecs[0]
+                seed = jnp.asarray(vecs[0])
                 if float(jnp.linalg.norm(r)) <= 1e-7 * max(1.0,
                                                            abs(vals[0])):
-                    return (np.asarray(vals),
-                            np.asarray(vecs).reshape(1, -1))
+                    return unpad_all(vals, vecs)
     else:
         v0n = jax.random.normal(jax.random.PRNGKey(17),
                                 (op.dim_dw, op.dim_up), jnp.float64)
         v0 = to_padded(op, v0n / jnp.linalg.norm(v0n))
         _, evecs_p = lanczos_ground_state(
-            op, matvec_bs_padded, dim, neigen, ncv=ncv,
+            pop, matvec_bs_padded, pop.dim, neigen, ncv=ncv,
             tol=max(_lanc_tol(cfg), 5e-5), dtype=jnp.float32, v0=v0,
-            vshape=op.padded_shape)
-        seed = from_padded(op,
-                           jnp.asarray(evecs_p[0]).reshape(op.padded_shape),
-                           jnp.float64).reshape(-1)
-    return lanczos_ground_state(
-        op, matvec_bs_flat, dim, neigen, ncv=ncv,
+            vshape=pshape)
+        seed = jnp.asarray(evecs_p[0], jnp.float64).reshape(pshape)
+    vals, vecs_p = lanczos_ground_state(
+        pop, matvec_bs_mixed_padded, pop.dim, neigen, ncv=ncv,
         tol=max(_lanc_tol(cfg), 3e-6), dtype=jnp.float64, v0=seed,
-        polish_apply=matvec_bs_exact_flat)
+        vshape=pshape, polish_apply=matvec_bs_exact_padded)
+    return unpad_all(vals, vecs_p)
 
 
 def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,

@@ -23,16 +23,45 @@ Round-3 design, driven by measured facts (experiments/kernel_probe*.py):
    (sublane-side) and up (lane-side) contractions use clipped banded slabs,
    skipping the all-zero tiles the dense path multiplies.
 
-4. **Separable low-rank diagonal.** The sector diagonal is an exactly
+4. **Static zero-tile run trims (round 5).** 27.5% of the 128x128 tiles
+   inside the uniform band windows are exactly zero (window-edge clamping
+   plus local band variation — measured census, ROUND4_NOTES); the
+   reference's CSR SpMV never multiplies a stored zero either
+   (ED_SPARSE_MATRIX.f90:255-285). Harvesting them needs care: the
+   dynamic-control-flow forms (SMEM tile lists + dynamic-bound fori, or
+   per-tile lax.cond) all LOSE on chip — measured 82/76/60 us/mv vs the
+   54 us untrimmed kernel (experiments/trim_ab.py: tiny [128,128] dots in
+   dynamic loops stall the MXU pipeline; dynamic_slice on values is not
+   lowerable so lanes re-read+re-cast per tile). What wins is the fully
+   STATIC form: a no-grid kernel with python-unrolled panels whose
+   per-panel contiguous RUNS of nonzero tiles are compile-time constants
+   — every zero tile skipped with large static dots: **40.2 us/mv, 276
+   Gnnz/s, 1.02x of the untrimmed-window kernel roofline** (the roofline
+   denominator counts the zero tiles it no longer multiplies). The runs
+   are stashed on the op OUTSIDE the pytree (``_trim_runs``) so they
+   never enter a jit key: the bucketed chain/grid kernels are unaffected,
+   and the runs kernel — compiled per sector — serves the per-call
+   chain wrappers (bench, chain_step) where per-sector compiles are paid
+   once against thousands of launches.
+
+5. **Separable low-rank diagonal.** The sector diagonal is an exactly
    low-rank sum of up x dw occupation products (chemical potential, level
    energies, density-density interactions); an adaptive-cross (ACA)
    factorization on host (exact for exactly-low-rank matrices) turns the
    4.2 MB diagonal stream into two tiny factor matrices contracted on the
    MXU inside the kernel — diag_tile = A[i-panel] @ B, elementwise times v.
 
-5. **Fused chain normalization.** The kernel takes a scalar ``scale``
+6. **Fused chain normalization.** The kernel takes a scalar ``scale``
    (SMEM) and emits per-panel sums of squares, so a normalized Lanczos
    chain step is exactly one kernel launch with no extra HBM pass.
+
+7. **Compile-key discipline (round 5, the cold-diag fix).** Everything a
+   jitted program touches lives in :class:`BsPaddedOp` — padded-space
+   arrays plus the padded-space f64/f32 exact factors for the polish — so
+   executables key on the PADDED geometry (ddp, dup, W, rank), which many
+   sectors share, instead of on per-sector natural dims. The outer
+   :class:`BlockSparseSectorOp` carries the natural-order factors and the
+   RCM permutations for the boundary crossings and oracles only.
 
 The permutation is a similarity transform: the whole Krylov chain runs in
 the permuted, padded f32 space; vectors cross the boundary once per chain.
@@ -42,8 +71,9 @@ above the physics.
 
 Gotchas (hard-won): Mosaic fails to legalize kernels when jax x64 mode is
 on (every pallas_call runs under ``jax.enable_x64(False)``); dynamic slice
-starts must be *provably* tile-aligned — multiply block indices by 128 as
-the last operation.
+starts must be *provably* tile-aligned — multiply tile indices by 128 as
+the last operation. Dynamic-bound ``fori_loop`` over SMEM tile lists and
+dynamic lane-dimension slices both lower fine (probed on-chip, round 5).
 """
 from __future__ import annotations
 
@@ -155,22 +185,84 @@ def _banded_slabs(h_p: np.ndarray, n: int, np_: int, axis: int
     return slabs, w, d
 
 
+def _trim_runs(slabs: np.ndarray, axis: int) -> Tuple[Tuple, ...]:
+    """Per-panel contiguous RUNS of nonzero window tiles (the static
+    zero-tile trim).
+
+    slabs: [nt, 128, W] (axis=0, dw row slabs) or [nt, W, 128] (axis=1,
+    up column slabs). Returns a tuple (hashable, compile-time constant)
+    of per-panel tuples of (r0, r1) half-open tile ranges covering every
+    nonzero tile, ascending — trimmed accumulation visits the nonzero
+    tiles in the untrimmed order, and the skipped terms are exact zeros.
+    """
+    nt = slabs.shape[0]
+    w = slabs.shape[2] if axis == 0 else slabs.shape[1]
+    ntw = w // 128
+    out = []
+    for p in range(nt):
+        runs = []
+        for wt in range(ntw):
+            tile = (slabs[p, :, wt * 128:(wt + 1) * 128] if axis == 0
+                    else slabs[p, wt * 128:(wt + 1) * 128, :])
+            if np.any(tile != 0.0):
+                if runs and runs[-1][1] == wt:
+                    runs[-1] = (runs[-1][0], wt + 1)
+                else:
+                    runs.append((wt, wt + 1))
+        out.append(tuple(runs))
+    return tuple(out)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
-class BlockSparseSectorOp:
-    """Sector operator for the band-sparse fused kernel.
-
-    Fast path (RCM-permuted, 128-padded): split-bf16 banded slabs of both
-    factors + the separable f32 diagonal factors. Exact path (f64, natural
-    order): ``diag``, ``hup``, ``hdw`` — the Rayleigh-Ritz polish / oracle.
-    """
-    # fast path (permuted + padded)
+class BsPaddedOp:
+    """Padded-space half of the band-sparse operator — the ONLY pytree any
+    jitted solver/kernel program takes, so executables key on the padded
+    geometry (shared across sectors) instead of per-sector natural dims."""
+    # fused-kernel fields (RCM-permuted, 128-padded)
     dw_hi: jnp.ndarray            # [ntd, 128, Wd] bf16 row slabs of Hdw
     dw_lo: jnp.ndarray
     up_hi: jnp.ndarray            # [ntu, Wu, 128] bf16 column slabs of Hup
     up_lo: jnp.ndarray
     diag_a: jnp.ndarray           # [ddp, R] f32 separable-diagonal factors
     diag_b: jnp.ndarray           # [R, dup] f32
+    # padded-space exact factors (polish / top-off / oracle — f64 + f32)
+    diag_p: jnp.ndarray           # [ddp, dup] f64 (pad rows/cols +PAD_SHIFT)
+    hup_p: jnp.ndarray            # [dup, dup] f64 permuted padded
+    hdw_p: jnp.ndarray            # [ddp, ddp] f64
+    hup_p32: jnp.ndarray          # f32 copies (mixed top-off contract)
+    hdw_p32: jnp.ndarray
+    # GF chain-kernel path: plain f32 banded slabs (same geometry as the
+    # split-bf16 pairs, same total bytes) consumed with Mosaic 6-pass
+    # HIGHEST dots — full f32 fidelity inside the fused chain
+    dw_f32: jnp.ndarray = None    # [ntd, 128, Wd] f32
+    up_f32: jnp.ndarray = None    # [ntu, Wu, 128] f32
+    # static geometry (per-bucket, shared across same-geometry sectors)
+    w_dw: int = field(default=0, metadata=dict(static=True))
+    d_dw: int = field(default=0, metadata=dict(static=True))
+    w_up: int = field(default=0, metadata=dict(static=True))
+    d_up: int = field(default=0, metadata=dict(static=True))
+
+    @property
+    def padded_shape(self) -> Tuple[int, int]:
+        return (self.dw_hi.shape[0] * 128, self.up_hi.shape[0] * 128)
+
+    @property
+    def dim(self) -> int:
+        ddp, dup = self.padded_shape
+        return ddp * dup
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BlockSparseSectorOp:
+    """Sector operator for the band-sparse fused kernel.
+
+    ``pop`` is the padded-space half (kernels + polish). The natural-order
+    fields serve the boundary crossings (``to_padded``/``from_padded``),
+    the GF/generic flat applies, and the f64 oracle.
+    """
+    pop: BsPaddedOp
     perm_dw: jnp.ndarray          # [dd] natural -> permuted gather indices
     perm_up: jnp.ndarray          # [du]
     iperm_dw: jnp.ndarray         # [dd] inverse
@@ -183,18 +275,9 @@ class BlockSparseSectorOp:
     # f32-true HIGHEST matmuls + f64 diagonal — the dense-backend contract)
     hup32: jnp.ndarray = None
     hdw32: jnp.ndarray = None
-    # GF chain-kernel path: plain f32 banded slabs (same geometry as the
-    # split-bf16 pairs, same total bytes) consumed with Mosaic 6-pass
-    # HIGHEST dots — full f32 fidelity inside the fused chain
-    dw_f32: jnp.ndarray = None    # [ntd, 128, Wd] f32
-    up_f32: jnp.ndarray = None    # [ntu, Wu, 128] f32
     # static metadata
     dim_dw: int = field(default=0, metadata=dict(static=True))
     dim_up: int = field(default=0, metadata=dict(static=True))
-    w_dw: int = field(default=0, metadata=dict(static=True))
-    d_dw: int = field(default=0, metadata=dict(static=True))
-    w_up: int = field(default=0, metadata=dict(static=True))
-    d_up: int = field(default=0, metadata=dict(static=True))
     nnz_count: int = field(default=0, metadata=dict(static=True))
 
     @property
@@ -207,7 +290,61 @@ class BlockSparseSectorOp:
 
     @property
     def padded_shape(self) -> Tuple[int, int]:
-        return (self.dw_hi.shape[0] * 128, self.up_hi.shape[0] * 128)
+        return self.pop.padded_shape
+
+    # geometry passthroughs (tests / sharded path / bench introspect these)
+    @property
+    def w_dw(self) -> int:
+        return self.pop.w_dw
+
+    @property
+    def d_dw(self) -> int:
+        return self.pop.d_dw
+
+    @property
+    def w_up(self) -> int:
+        return self.pop.w_up
+
+    @property
+    def d_up(self) -> int:
+        return self.pop.d_up
+
+    @property
+    def dw_hi(self):
+        return self.pop.dw_hi
+
+    @property
+    def dw_lo(self):
+        return self.pop.dw_lo
+
+    @property
+    def up_hi(self):
+        return self.pop.up_hi
+
+    @property
+    def up_lo(self):
+        return self.pop.up_lo
+
+    @property
+    def diag_a(self):
+        return self.pop.diag_a
+
+    @property
+    def diag_b(self):
+        return self.pop.diag_b
+
+    @property
+    def dw_f32(self):
+        return self.pop.dw_f32
+
+    @property
+    def up_f32(self):
+        return self.pop.up_f32
+
+
+def _pop(op) -> BsPaddedOp:
+    """Accept either the outer sector op or the padded half."""
+    return op.pop if isinstance(op, BlockSparseSectorOp) else op
 
 
 def blocksparse_applicable(h: SectorHamiltonian) -> bool:
@@ -253,6 +390,8 @@ def build_blocksparse_op(h: SectorHamiltonian) -> BlockSparseSectorOp:
     up_slabs, w_up, d_up = _banded_slabs(hup_p, du, dup, axis=1)
     dw_hi, dw_lo = _split_bf16(dw_slabs)
     up_hi, up_lo = _split_bf16(up_slabs)
+    dw_runs = _trim_runs(dw_slabs, axis=0)
+    up_runs = _trim_runs(up_slabs, axis=1)
 
     # separable diagonal over the padded grid, pad shift included as two
     # extra rank terms: PAD_SHIFT * (1_pad^dw (x) 1 + 1_phys^dw (x) 1_pad^up)
@@ -272,21 +411,43 @@ def build_blocksparse_op(h: SectorHamiltonian) -> BlockSparseSectorOp:
     diag_a[:dd, r + 1] = PAD_SHIFT
     diag_b[r + 1, du:] = 1.0
 
+    # padded-space exact factors (the polish/top-off run entirely in the
+    # permuted padded space so their executables key on padded geometry)
+    hup_pp = np.zeros((dup, dup))
+    hup_pp[:du, :du] = hup_p
+    hdw_pp = np.zeros((ddp, ddp))
+    hdw_pp[:dd, :dd] = hdw_p
+    diag_pp = np.zeros((ddp, dup))
+    diag_pp[:dd, :du] = diag_p
+    diag_pp[dd:, :] += PAD_SHIFT
+    diag_pp[:dd, du:] += PAD_SHIFT
+
     inv_up = np.empty(du, np.int64)
     inv_up[perm_up] = np.arange(du)
     inv_dw = np.empty(dd, np.int64)
     inv_dw[perm_dw] = np.arange(dd)
-    return BlockSparseSectorOp(
+    pop = BsPaddedOp(
         dw_hi=dw_hi, dw_lo=dw_lo, up_hi=up_hi, up_lo=up_lo,
         diag_a=jnp.asarray(diag_a), diag_b=jnp.asarray(diag_b),
+        diag_p=jnp.asarray(diag_pp), hup_p=jnp.asarray(hup_pp),
+        hdw_p=jnp.asarray(hdw_pp),
+        hup_p32=jnp.asarray(hup_pp, jnp.float32),
+        hdw_p32=jnp.asarray(hdw_pp, jnp.float32),
+        dw_f32=jnp.asarray(dw_slabs), up_f32=jnp.asarray(up_slabs),
+        w_dw=w_dw, d_dw=d_dw, w_up=w_up, d_up=d_up)
+    # static zero-tile runs, stashed OUTSIDE the pytree: available at trace
+    # time through the concrete object (per-call wrappers), invisible to
+    # jit keys and dropped across jit boundaries (traced pytrees fall back
+    # to the untrimmed grid kernel) — see module docstring #4
+    object.__setattr__(pop, "_trim_runs", (dw_runs, up_runs))
+    return BlockSparseSectorOp(
+        pop=pop,
         perm_dw=jnp.asarray(perm_dw), perm_up=jnp.asarray(perm_up),
         iperm_dw=jnp.asarray(inv_dw), iperm_up=jnp.asarray(inv_up),
         diag=jnp.asarray(diag), hup=jnp.asarray(hup), hdw=jnp.asarray(hdw),
         hup32=jnp.asarray(hup, jnp.float32),
         hdw32=jnp.asarray(hdw, jnp.float32),
-        dw_f32=jnp.asarray(dw_slabs), up_f32=jnp.asarray(up_slabs),
-        dim_dw=dd, dim_up=du, w_dw=w_dw, d_dw=d_dw, w_up=w_up, d_up=d_up,
-        nnz_count=h.nnz)
+        dim_dw=dd, dim_up=du, nnz_count=h.nnz)
 
 
 # --------------------------------------------------------------------------
@@ -299,11 +460,12 @@ def _dot3(xhi, xlo, ahi, alo):
             + jnp.dot(xhi, alo, **kw))
 
 
-
-
 def _fused_kernel(scale_ref, v_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
                   a_ref, b_ref, out_ref, ss_ref, *, d_dw: int, w_dw: int,
                   ddp: int, d_up: int, w_up: int, dup: int):
+    """Grid form (one program per row panel), untrimmed windows — the
+    geometry-bucketed fallback; see :func:`_runs_kernel` for the trimmed
+    production form."""
     i = pl.program_id(0)
     ntu = dup // 128
     # multiply by 128 LAST so Mosaic can statically prove the dynamic
@@ -325,9 +487,7 @@ def _fused_kernel(scale_ref, v_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
     # dw hops: banded row slab against the resident-V row window
     acc = acc + _dot3(dwhi_ref[0], dwlo_ref[0], vw_hi, vw_lo)
     # up hops: per column panel, banded column slab against a lane window
-    # of this row panel (static python loop -> unrolled, static slices;
-    # assembled by concatenation — .at[].add scatters capture constants
-    # that Mosaic cannot take)
+    # of this row panel (static python loop -> unrolled, static slices)
     up_parts = []
     for j in range(ntu):
         s = min(max((j - d_up) * 128, 0), dup - w_up)
@@ -342,19 +502,19 @@ def _fused_kernel(scale_ref, v_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _matvec_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
-                   scale: jnp.ndarray, interpret: bool = False
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One fused matvec on the permuted padded f32 vector.
+def _matvec_padded_pop(pop: BsPaddedOp, v32p: jnp.ndarray,
+                       scale: jnp.ndarray, interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused matvec on the permuted padded f32 vector (grid form).
 
-    Returns (scale * H_p v, per-panel sums of squares [ntd, 1]).
-    """
+    Returns (scale * H_p v, per-panel sums of squares [ntd, 1]). Keyed on
+    the padded geometry only (pop carries no natural-dim leaves)."""
     with jax.enable_x64(False):
         ddp, dup = v32p.shape
         ntd = ddp // 128
-        kern = partial(_fused_kernel, d_dw=op.d_dw, w_dw=op.w_dw, ddp=ddp,
-                       d_up=op.d_up, w_up=op.w_up, dup=dup)
-        rp = op.diag_a.shape[1]
+        kern = partial(_fused_kernel, d_dw=pop.d_dw, w_dw=pop.w_dw, ddp=ddp,
+                       d_up=pop.d_up, w_up=pop.w_up, dup=dup)
+        rp = pop.diag_a.shape[1]
         return pl.pallas_call(
             kern,
             grid=(ntd,),
@@ -363,13 +523,15 @@ def _matvec_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
                              memory_space=pltpu.SMEM),        # scale
                 pl.BlockSpec((ddp, dup), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),        # V resident
-                pl.BlockSpec((1, 128, op.w_dw), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 128, pop.w_dw), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),        # dw slab hi
-                pl.BlockSpec((1, 128, op.w_dw), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 128, pop.w_dw), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),        # dw slab lo
-                pl.BlockSpec((dup // 128, op.w_up, 128), lambda i: (0, 0, 0),
+                pl.BlockSpec((dup // 128, pop.w_up, 128),
+                             lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),        # up slabs hi
-                pl.BlockSpec((dup // 128, op.w_up, 128), lambda i: (0, 0, 0),
+                pl.BlockSpec((dup // 128, pop.w_up, 128),
+                             lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),        # up slabs lo
                 pl.BlockSpec((ddp, rp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),        # diag A
@@ -389,8 +551,119 @@ def _matvec_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
-        )(scale.reshape(1, 1).astype(jnp.float32), v32p, op.dw_hi, op.dw_lo,
-          op.up_hi, op.up_lo, op.diag_a, op.diag_b)
+        )(scale.reshape(1, 1).astype(jnp.float32), v32p, pop.dw_hi,
+          pop.dw_lo, pop.up_hi, pop.up_lo, pop.diag_a, pop.diag_b)
+
+
+# --------------------------------------------------------------------------
+# the static-runs kernel (no grid; python-unrolled panels; zero-tile trims
+# as compile-time constants — the winning form, module docstring #4)
+# --------------------------------------------------------------------------
+RUNS_VMEM_LIMIT = int(15.8 * 1024 * 1024)
+RUNS_VMEM_RESIDENT = int(13.6 * 1024 * 1024)
+
+
+def _runs_kernel(scale_ref, v_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
+                 a_ref, b_ref, out_ref, ss_ref, *, d_dw: int, w_dw: int,
+                 ddp: int, d_up: int, w_up: int, dup: int,
+                 dw_runs: Tuple, up_runs: Tuple):
+    ntd, ntu = ddp // 128, dup // 128
+    sc = scale_ref[0, 0]
+    for i in range(ntd):
+        t = min(max(i - d_dw, 0), (ddp - w_dw) // 128)
+        v_blk = v_ref[i * 128:(i + 1) * 128, :]
+        diag_panel = jnp.dot(a_ref[i * 128:(i + 1) * 128, :], b_ref[:],
+                             preferred_element_type=jnp.float32,
+                             precision=_HIGHEST)
+        acc = diag_panel * v_blk
+        for (r0, r1) in dw_runs[i]:
+            vw = v_ref[(t + r0) * 128:(t + r1) * 128, :]
+            vw_hi = vw.astype(jnp.bfloat16)
+            vw_lo = (vw - vw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + _dot3(
+                dwhi_ref[i * 128:(i + 1) * 128, r0 * 128:r1 * 128],
+                dwlo_ref[i * 128:(i + 1) * 128, r0 * 128:r1 * 128],
+                vw_hi, vw_lo)
+        vb_hi = v_blk.astype(jnp.bfloat16)
+        vb_lo = (v_blk - vb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        up_parts = []
+        for j in range(ntu):
+            s = min(max((j - d_up) * 128, 0), dup - w_up)
+            pj = jnp.zeros((128, 128), jnp.float32)
+            for (r0, r1) in up_runs[j]:
+                pj = pj + _dot3(
+                    vb_hi[:, s + r0 * 128:s + r1 * 128],
+                    vb_lo[:, s + r0 * 128:s + r1 * 128],
+                    uphi_ref[j, r0 * 128:r1 * 128, :],
+                    uplo_ref[j, r0 * 128:r1 * 128, :])
+            up_parts.append(pj)
+        acc = acc + (up_parts[0] if ntu == 1
+                     else jnp.concatenate(up_parts, axis=1))
+        acc = acc * sc
+        out_ref[i * 128:(i + 1) * 128, :] = acc
+        ss_ref[i, 0] = jnp.sum(acc * acc)
+
+
+@partial(jax.jit, static_argnames=("dw_runs", "up_runs", "interpret"))
+def _matvec_padded_runs(pop: BsPaddedOp, v32p: jnp.ndarray,
+                        scale: jnp.ndarray, dw_runs: Tuple, up_runs: Tuple,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-runs fused matvec: 40.2 us/mv vs the grid form's 54.7 on the
+    854k bench sector (276 Gnnz/s — experiments/trim_ab.py). Keys include
+    the runs (per sector); use only through the concrete-op wrappers."""
+    with jax.enable_x64(False):
+        ddp, dup = v32p.shape
+        ntd = ddp // 128
+        kern = partial(_runs_kernel, d_dw=pop.d_dw, w_dw=pop.w_dw, ddp=ddp,
+                       d_up=pop.d_up, w_up=pop.w_up, dup=dup,
+                       dw_runs=dw_runs, up_runs=up_runs)
+        vspec = [pl.BlockSpec(memory_space=pltpu.SMEM)] \
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+        return pl.pallas_call(
+            kern,
+            in_specs=vspec,
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((ddp, dup), jnp.float32),
+                jax.ShapeDtypeStruct((ntd, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=RUNS_VMEM_LIMIT),
+            interpret=interpret,
+        )(scale.reshape(1, 1).astype(jnp.float32), v32p,
+          pop.dw_hi.reshape(ntd * 128, pop.w_dw),
+          pop.dw_lo.reshape(ntd * 128, pop.w_dw),
+          pop.up_hi, pop.up_lo, pop.diag_a, pop.diag_b)
+
+
+def _runs_applicable(pop: BsPaddedOp) -> bool:
+    """The no-grid form holds v, out, and BOTH slab stacks resident."""
+    ddp, dup = pop.padded_shape
+    ntd, ntu = ddp // 128, dup // 128
+    resident = (2 * 4 * ddp * dup                      # v + out
+                + 2 * 2 * ntd * 128 * pop.w_dw        # dw slabs hi+lo
+                + 2 * 2 * ntu * pop.w_up * 128        # up slabs hi+lo
+                + 4 * (ddp + dup) * pop.diag_a.shape[1])
+    return resident <= RUNS_VMEM_RESIDENT
+
+
+def _matvec_padded(op, v32p: jnp.ndarray, scale: jnp.ndarray,
+                   interpret: bool = False
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatch: static-runs kernel when the trim runs are reachable on
+    the concrete op and the resident footprint fits; geometry-bucketed
+    grid kernel otherwise (including whenever the op arrives as a traced
+    pytree, where the out-of-pytree stash is absent by design)."""
+    pop = _pop(op)
+    runs = getattr(pop, "_trim_runs", None)
+    if runs is not None and _runs_applicable(pop):
+        return _matvec_padded_runs(pop, v32p, scale, runs[0], runs[1],
+                                   interpret=interpret)
+    return _matvec_padded_pop(pop, v32p, scale, interpret=interpret)
 
 
 def _auto_interpret(interpret: bool) -> bool:
@@ -399,7 +672,7 @@ def _auto_interpret(interpret: bool) -> bool:
     return interpret or jax.default_backend() == "cpu"
 
 
-def matvec_bs_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
+def matvec_bs_padded(op, v32p: jnp.ndarray,
                      interpret: bool = False) -> jnp.ndarray:
     """Unscaled fused matvec on the permuted padded f32 vector."""
     y, _ = _matvec_padded(op, v32p, jnp.float32(1.0),
@@ -407,8 +680,8 @@ def matvec_bs_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
     return y
 
 
-def chain_step(op: BlockSparseSectorOp, v32p: jnp.ndarray,
-               inv_norm: jnp.ndarray, interpret: bool = False
+def chain_step(op, v32p: jnp.ndarray, inv_norm: jnp.ndarray,
+               interpret: bool = False
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One normalized power-iteration step fused into a single kernel:
     y = (inv_norm * H_p) v, returning (y, rsqrt(|y|^2)) — feed the second
@@ -430,13 +703,35 @@ def to_padded(op: BlockSparseSectorOp, v: jnp.ndarray) -> jnp.ndarray:
 
 def from_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
                 dtype=jnp.float64) -> jnp.ndarray:
-    """Permuted padded f32 -> natural [dd, du] in `dtype`."""
+    """Permuted padded (any float dtype) -> natural [dd, du] in `dtype`."""
     v = v32p[:op.dim_dw, :op.dim_up]
     return v[op.iperm_dw][:, op.iperm_up].astype(dtype)
 
 
 # --------------------------------------------------------------------------
-# flat f64 interfaces (generic solver / accuracy-gate path)
+# padded-space exact/mixed applies (polish & top-off; keyed on pop only)
+# --------------------------------------------------------------------------
+def matvec_bs_exact_padded(pop, v: jnp.ndarray) -> jnp.ndarray:
+    """f64-exact apply in the permuted padded space ([ddp, dup] in/out).
+    The pad subspace is exactly invariant (zero factor rows; diag_p keeps
+    zero pad components zero)."""
+    pop = _pop(pop)
+    return pop.diag_p * v + jnp.matmul(v, pop.hup_p, precision=_HIGHEST) \
+        + jnp.matmul(pop.hdw_p, v, precision=_HIGHEST)
+
+
+def matvec_bs_mixed_padded(pop, v: jnp.ndarray) -> jnp.ndarray:
+    """f32-true (HIGHEST) matmuls + f64 diagonal in the padded space — the
+    dense-backend mixed contract, for the Lanczos top-off."""
+    pop = _pop(pop)
+    v32 = v.astype(jnp.float32)
+    y32 = jnp.matmul(v32, pop.hup_p32, precision=_HIGHEST) \
+        + jnp.matmul(pop.hdw_p32, v32, precision=_HIGHEST)
+    return pop.diag_p * v + y32.astype(v.dtype)
+
+
+# --------------------------------------------------------------------------
+# flat f64 interfaces (generic solver / accuracy-gate path; natural order)
 # --------------------------------------------------------------------------
 def matvec_bs_flat(op: BlockSparseSectorOp, v_flat: jnp.ndarray
                    ) -> jnp.ndarray:

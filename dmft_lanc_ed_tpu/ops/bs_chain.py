@@ -34,7 +34,20 @@ Two kernels, sharing one panel-apply helper (bitwise-identical H):
 tridiagonal (Ritz bounds [theta_0, theta_max] + top-end residual safety
 margin) -> Chebyshev filter damping [cut, b] -> normalized seed. The
 two-stage solver (diag._blocksparse_ground_state) then tops off with the
-mixed-precision Lanczos + f64 Rayleigh-Ritz polish exactly as before.
+mixed-precision Lanczos + f64 Rayleigh-Ritz polish — in the padded space
+throughout (round-5 compile-key discipline; see ops/blocksparse.py #7).
+
+Round-5 changes:
+- every jitted entry point takes the :class:`~.blocksparse.BsPaddedOp`
+  (padded-geometry jit keys shared across sectors — the cold-diag compile
+  wall was one executable set PER SECTOR because the old signatures keyed
+  on the op's natural-dim leaves);
+- the zero-tile trim (blocksparse._fused_kernel) is NOT applied here: the
+  trim's dynamic-loop temporaries pushed these 2-plane-resident kernels
+  past the scoped-VMEM edge (16.0-16.3M vs the 15.8M limit, measured
+  on-chip at the bench geometry) — see the `_hv_panel` docstring;
+- the v1 (grid-per-panel) kernel variants are gone: round 4 measured the
+  v2 one-grid-step-per-Lanczos-step structure strictly better.
 
 VMEM budget: 2 f32 vector planes (8 MB on the 1024x1024-padded bench
 sector) + both split-bf16 slab stacks (~5.3 MB) + temporaries. The dw
@@ -58,8 +71,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .blocksparse import (BlockSparseSectorOp, _auto_interpret, _dot3,
-                          from_padded, to_padded)
+from .blocksparse import (BsPaddedOp, BlockSparseSectorOp, _auto_interpret,
+                          _dot3, _pop, from_padded, to_padded)
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -87,14 +100,15 @@ def _bucket_k(k: int) -> int:
         "_K_BUCKETS (each bucket is one compiled executable)")
 
 
-def chain_applicable(op: BlockSparseSectorOp) -> bool:
+def chain_applicable(op) -> bool:
     """True when two f32 vector planes + both resident slab stacks fit."""
-    ddp, dup = op.padded_shape
+    pop = _pop(op)
+    ddp, dup = pop.padded_shape
     ntd, ntu = ddp // 128, dup // 128
     resident = (2 * 4 * ddp * dup                      # ping-pong planes
-                + 2 * 2 * ntu * op.w_up * 128          # up slabs hi+lo
-                + 2 * 2 * ntd * 128 * op.w_dw          # dw slabs hi+lo
-                + 4 * (ddp + dup) * op.diag_a.shape[1])
+                + 2 * 2 * ntu * pop.w_up * 128         # up slabs hi+lo
+                + 2 * 2 * ntd * 128 * pop.w_dw         # dw slabs hi+lo
+                + 4 * (ddp + dup) * pop.diag_a.shape[1])
     return resident <= CHAIN_VMEM_BUDGET
 
 
@@ -102,13 +116,22 @@ def chain_applicable(op: BlockSparseSectorOp) -> bool:
 # shared panel apply: y = (H_p u_cur)_i  on the permuted padded grid
 # --------------------------------------------------------------------------
 def _hv_panel(vbuf, cur, i, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
-              a_ref, b_ref, *, d_dw: int, w_dw: int, ddp: int,
-              d_up: int, w_up: int, dup: int, dots=_dot3):
+              a_ref, b_ref, *, d_dw: int, w_dw: int, ddp: int, d_up: int,
+              w_up: int, dup: int, dots=_dot3):
     """Panel i of H_p @ u_cur (true factor values, f32 accumulation).
 
     Returns (y_panel [128, dup], u_cur panel [128, dup]). The dw window
     contraction is tiled 128 rows at a time so the bf16 cast temporaries
     never exceed one panel. All dynamic starts multiply by 128 LAST.
+
+    UNTRIMMED by design (unlike blocksparse._fused_kernel): the zero-tile
+    trim needs dynamic-bound loops whose temporaries pushed this
+    2-plane-resident kernel past the scoped-VMEM edge (measured 16.0-16.3M
+    vs the 15.8M limit at the bench geometry; `dynamic_slice` on values is
+    not lowerable, so trimmed lane windows must be re-read and re-cast per
+    tile). The per-call kernel — the headline, with only one resident
+    plane — trims both sides; the chain's value is dispatch amortization,
+    where the ~14% dw-MXU trim would be noise against the VMEM risk.
     (``dots``: the split-bf16 product; see :func:`_hv_panel_f32` for the
     full-f32-fidelity GF variant.)
     """
@@ -145,19 +168,19 @@ def _hv_panel(vbuf, cur, i, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
     return acc, v_blk
 
 
-def _chain_specs(op: BlockSparseSectorOp, ddp: int, dup: int):
+def _chain_specs(pop: BsPaddedOp, ddp: int, dup: int):
     """Input specs shared by both chain kernels (v0 + resident factors)."""
     ntu = dup // 128
-    rp = op.diag_a.shape[1]
+    rp = pop.diag_a.shape[1]
     return [
         pl.BlockSpec(memory_space=pl.ANY),                    # v0 (DMA'd)
-        pl.BlockSpec((ddp, op.w_dw), lambda *_: (0, 0),
+        pl.BlockSpec((ddp, pop.w_dw), lambda *_: (0, 0),
                      memory_space=pltpu.VMEM),                # dw hi (2D)
-        pl.BlockSpec((ddp, op.w_dw), lambda *_: (0, 0),
+        pl.BlockSpec((ddp, pop.w_dw), lambda *_: (0, 0),
                      memory_space=pltpu.VMEM),                # dw lo
-        pl.BlockSpec((ntu, op.w_up, 128), lambda *_: (0, 0, 0),
+        pl.BlockSpec((ntu, pop.w_up, 128), lambda *_: (0, 0, 0),
                      memory_space=pltpu.VMEM),                # up hi
-        pl.BlockSpec((ntu, op.w_up, 128), lambda *_: (0, 0, 0),
+        pl.BlockSpec((ntu, pop.w_up, 128), lambda *_: (0, 0, 0),
                      memory_space=pltpu.VMEM),                # up lo
         pl.BlockSpec((ddp, rp), lambda *_: (0, 0),
                      memory_space=pltpu.VMEM),                # diag A
@@ -166,159 +189,25 @@ def _chain_specs(op: BlockSparseSectorOp, ddp: int, dup: int):
     ]
 
 
-def _chain_inputs(op: BlockSparseSectorOp, v32p: jnp.ndarray):
-    ddp, dup = op.padded_shape
+def _chain_inputs(pop: BsPaddedOp, v32p: jnp.ndarray):
+    ddp, dup = pop.padded_shape
     ntd = ddp // 128
     return (v32p,
-            op.dw_hi.reshape(ntd * 128, op.w_dw),
-            op.dw_lo.reshape(ntd * 128, op.w_dw),
-            op.up_hi, op.up_lo, op.diag_a, op.diag_b)
+            pop.dw_hi.reshape(ntd * 128, pop.w_dw),
+            pop.dw_lo.reshape(ntd * 128, pop.w_dw),
+            pop.up_hi, pop.up_lo, pop.diag_a, pop.diag_b)
 
 
 # --------------------------------------------------------------------------
 # kernel 1: K-step Lanczos tridiagonalization
+# (one grid step per Lanczos step; panels via in-kernel fori_loop — the
+# round-4 "v2" structure, which measured ~20 us/step cheaper than a
+# grid-per-panel layout)
 # --------------------------------------------------------------------------
 def _tridiag_kernel(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
                     a_ref, b_ref, alphas_ref, betas_ref,
                     vbuf, st, sem, *, kk: int, d_dw: int, w_dw: int,
                     ddp: int, d_up: int, w_up: int, dup: int):
-    k = pl.program_id(0)
-    ph = pl.program_id(1)
-    i = pl.program_id(2)
-    ntd = ddp // 128
-    cur = jax.lax.rem(k, 2)
-    prv = 1 - cur
-
-    @pl.when((k == 0) & (ph == 0) & (i == 0))
-    def _():
-        dma = pltpu.make_async_copy(v0_ref, vbuf.at[0], sem)
-        dma.start()
-        dma.wait()
-        st[_DOT] = 0.0
-        st[_SS] = 0.0
-        st[_SPRV] = 0.0
-        st[_SCUR] = 1.0
-        st[_BETA] = 0.0
-
-    @pl.when(ph == 0)
-    def _():
-        hv, v_blk = _hv_panel(vbuf, cur, i, dwhi_ref, dwlo_ref, uphi_ref,
-                              uplo_ref, a_ref, b_ref, d_dw=d_dw, w_dw=w_dw,
-                              ddp=ddp, d_up=d_up, w_up=w_up, dup=dup)
-        y = st[_SCUR] * hv
-        st[_DOT] += jnp.sum(v_blk * y)
-
-        @pl.when(k > 0)
-        def _():
-            coup = st[_BETA] * st[_SPRV]
-            vbuf[prv, pl.ds(i * 128, 128), :] = \
-                y - coup * vbuf[prv, pl.ds(i * 128, 128), :]
-
-        @pl.when(k == 0)
-        def _():
-            vbuf[prv, pl.ds(i * 128, 128), :] = y
-
-    @pl.when(ph == 1)
-    def _():
-        @pl.when(i == 0)
-        def _():
-            st[_ALPHA] = st[_SCUR] * st[_DOT]
-            alphas_ref[k, 0] = st[_ALPHA]
-            st[_DOT] = 0.0
-        co = st[_ALPHA] * st[_SCUR]
-        w = vbuf[prv, pl.ds(i * 128, 128), :] \
-            - co * vbuf[cur, pl.ds(i * 128, 128), :]
-        vbuf[prv, pl.ds(i * 128, 128), :] = w
-        st[_SS] += jnp.sum(w * w)
-
-        @pl.when(i == ntd - 1)
-        def _():
-            beta = jnp.sqrt(st[_SS])
-            betas_ref[k, 0] = beta
-            st[_SPRV] = st[_SCUR]
-            st[_SCUR] = jnp.where(beta > 1e-30, 1.0 / beta, 0.0)
-            st[_BETA] = beta
-            st[_SS] = 0.0
-
-
-@partial(jax.jit, static_argnames=("kk", "interpret"))
-def _tridiag_call(op: BlockSparseSectorOp, v32p: jnp.ndarray, kk: int,
-                  interpret: bool = False):
-    with jax.enable_x64(False):
-        ddp, dup = v32p.shape
-        ntd = ddp // 128
-        kern = partial(_tridiag_kernel, kk=kk, d_dw=op.d_dw, w_dw=op.w_dw,
-                       ddp=ddp, d_up=op.d_up, w_up=op.w_up, dup=dup)
-        return pl.pallas_call(
-            kern,
-            grid=(kk, 2, ntd),
-            in_specs=_chain_specs(op, ddp, dup),
-            out_specs=[
-                pl.BlockSpec((kk, 1), lambda *_: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((kk, 1), lambda *_: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((kk, 1), jnp.float32),
-                jax.ShapeDtypeStruct((kk, 1), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((2, ddp, dup), jnp.float32),
-                pltpu.SMEM((8,), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=CHAIN_VMEM_LIMIT),
-            interpret=interpret,
-        )(*_chain_inputs(op, v32p))
-
-
-# grid-structure implementation switch (v2 default: one grid step per
-# Lanczos step with panels in an in-kernel fori_loop; v1: (K, phases, ntd)
-# grid — kept for A/B measurement, BS_CHAIN_IMPL=v1)
-import os as _os
-
-_USE_V1 = _os.environ.get("BS_CHAIN_IMPL", "v2") == "v1"
-
-
-def tridiag_call(op, v32p, kk: int, interpret: bool = False):
-    fn = _tridiag_call if _USE_V1 else _tridiag_call2
-    return fn(op, v32p, kk, interpret=_auto_interpret(interpret))
-
-
-def cheb_call(op, v32p, ce, kk: int, interpret: bool = False):
-    fn = _cheb_call if _USE_V1 else _cheb_call2
-    return fn(op, v32p, ce, kk, interpret=_auto_interpret(interpret))
-
-
-def tridiag_chain(op: BlockSparseSectorOp, v32p: jnp.ndarray, m: int,
-                  interpret: bool = False
-                  ) -> Tuple[np.ndarray, np.ndarray, float]:
-    """m-step fused Lanczos tridiagonalization from a normalized padded v0.
-
-    Returns (alphas[m], betas[m], beta_out) — (alphas, betas) in the
-    lanczos_tridiag layout (betas[0]=0, betas[j] couples steps j-1 <-> j)
-    and beta_out the coupling out of the last vector (the Ritz residual
-    scale). One kernel launch (K bucketed up).
-    """
-    kk = _bucket_k(m)
-    al, be = tridiag_call(op, v32p, kk, interpret=_auto_interpret(interpret))
-    al = np.asarray(al).ravel()[:m].astype(np.float64)
-    be_raw = np.asarray(be).ravel()[:m].astype(np.float64)
-    betas = np.concatenate([[0.0], be_raw[:m - 1]])
-    return al, betas, float(be_raw[m - 1])
-
-
-# --------------------------------------------------------------------------
-# v2 grid structure: one grid step per Lanczos step, panels via fori_loop
-# (16 grid steps per Lanczos step in v1 measured ~20 us/step of fixed
-# per-grid-step overhead on the 854k sector; v2 pays it once per step)
-# --------------------------------------------------------------------------
-def _tridiag_kernel2(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
-                     a_ref, b_ref, alphas_ref, betas_ref,
-                     vbuf, st, sem, *, kk: int, d_dw: int, w_dw: int,
-                     ddp: int, d_up: int, w_up: int, dup: int):
     k = pl.program_id(0)
     ntd = ddp // 128
     cur = jax.lax.rem(k, 2)
@@ -378,16 +267,16 @@ def _tridiag_kernel2(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
 
 
 @partial(jax.jit, static_argnames=("kk", "interpret"))
-def _tridiag_call2(op: BlockSparseSectorOp, v32p: jnp.ndarray, kk: int,
-                   interpret: bool = False):
+def _tridiag_call(pop: BsPaddedOp, v32p: jnp.ndarray, kk: int,
+                  interpret: bool = False):
     with jax.enable_x64(False):
         ddp, dup = v32p.shape
-        kern = partial(_tridiag_kernel2, kk=kk, d_dw=op.d_dw, w_dw=op.w_dw,
-                       ddp=ddp, d_up=op.d_up, w_up=op.w_up, dup=dup)
+        kern = partial(_tridiag_kernel, kk=kk, d_dw=pop.d_dw, w_dw=pop.w_dw,
+                       ddp=ddp, d_up=pop.d_up, w_up=pop.w_up, dup=dup)
         return pl.pallas_call(
             kern,
             grid=(kk,),
-            in_specs=_chain_specs(op, ddp, dup),
+            in_specs=_chain_specs(pop, ddp, dup),
             out_specs=[
                 pl.BlockSpec((kk, 1), lambda *_: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -406,13 +295,43 @@ def _tridiag_call2(op: BlockSparseSectorOp, v32p: jnp.ndarray, kk: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=CHAIN_VMEM_LIMIT),
             interpret=interpret,
-        )(*_chain_inputs(op, v32p))
+        )(*_chain_inputs(pop, v32p))
 
 
-def _cheb_kernel2(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
-                  a_ref, b_ref, ce_ref, vout_ref, ssout_ref,
-                  vbuf, st, sem, sem2, *, kk: int, d_dw: int, w_dw: int,
-                  ddp: int, d_up: int, w_up: int, dup: int):
+def tridiag_call(op, v32p, kk: int, interpret: bool = False):
+    return _tridiag_call(_pop(op), v32p, kk,
+                         interpret=_auto_interpret(interpret))
+
+
+def cheb_call(op, v32p, ce, kk: int, interpret: bool = False):
+    return _cheb_call(_pop(op), v32p, ce, kk,
+                      interpret=_auto_interpret(interpret))
+
+
+def tridiag_chain(op, v32p: jnp.ndarray, m: int, interpret: bool = False
+                  ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """m-step fused Lanczos tridiagonalization from a normalized padded v0.
+
+    Returns (alphas[m], betas[m], beta_out) — (alphas, betas) in the
+    lanczos_tridiag layout (betas[0]=0, betas[j] couples steps j-1 <-> j)
+    and beta_out the coupling out of the last vector (the Ritz residual
+    scale). One kernel launch (K bucketed up).
+    """
+    kk = _bucket_k(m)
+    al, be = tridiag_call(op, v32p, kk, interpret=_auto_interpret(interpret))
+    al = np.asarray(al).ravel()[:m].astype(np.float64)
+    be_raw = np.asarray(be).ravel()[:m].astype(np.float64)
+    betas = np.concatenate([[0.0], be_raw[:m - 1]])
+    return al, betas, float(be_raw[m - 1])
+
+
+# --------------------------------------------------------------------------
+# kernel 2: K-step scaled Chebyshev filter
+# --------------------------------------------------------------------------
+def _cheb_kernel(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
+                 a_ref, b_ref, ce_ref, vout_ref, ssout_ref,
+                 vbuf, st, sem, sem2, *, kk: int, d_dw: int, w_dw: int,
+                 ddp: int, d_up: int, w_up: int, dup: int):
     k = pl.program_id(0)
     ntd = ddp // 128
     cur = jax.lax.rem(k, 2)
@@ -440,6 +359,9 @@ def _cheb_kernel2(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
 
         @pl.when(k > 0)
         def _():
+            # t_{k+1} = (2/e)(H-c)t_k - t_{k-1} with raw (unnormalized)
+            # stored vectors u_k: the u_{k-1} coefficient is
+            # 1/(beta_k beta_{k-1}) = s_cur * s_prv (module docstring)
             r = r0 - ss_coef * vbuf[prv, pl.ds(i * 128, 128), :]
             vbuf[prv, pl.ds(i * 128, 128), :] = r
             st[_SS] += jnp.sum(r * r)
@@ -465,111 +387,16 @@ def _cheb_kernel2(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
 
 
 @partial(jax.jit, static_argnames=("kk", "interpret"))
-def _cheb_call2(op: BlockSparseSectorOp, v32p: jnp.ndarray, ce: jnp.ndarray,
-                kk: int, interpret: bool = False):
-    with jax.enable_x64(False):
-        ddp, dup = v32p.shape
-        kern = partial(_cheb_kernel2, kk=kk, d_dw=op.d_dw, w_dw=op.w_dw,
-                       ddp=ddp, d_up=op.d_up, w_up=op.w_up, dup=dup)
-        return pl.pallas_call(
-            kern,
-            grid=(kk,),
-            in_specs=_chain_specs(op, ddp, dup) + [
-                pl.BlockSpec((2, 1), lambda *_: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, 1), lambda *_: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((ddp, dup), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((2, ddp, dup), jnp.float32),
-                pltpu.SMEM((8,), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=CHAIN_VMEM_LIMIT),
-            interpret=interpret,
-        )(*_chain_inputs(op, v32p), ce)
-
-
-# --------------------------------------------------------------------------
-# kernel 2: K-step scaled Chebyshev filter
-# --------------------------------------------------------------------------
-def _cheb_kernel(v0_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
-                 a_ref, b_ref, ce_ref, vout_ref, ssout_ref,
-                 vbuf, st, sem, sem2, *, kk: int, d_dw: int, w_dw: int,
-                 ddp: int, d_up: int, w_up: int, dup: int):
-    k = pl.program_id(0)
-    i = pl.program_id(1)
-    ntd = ddp // 128
-    cur = jax.lax.rem(k, 2)
-    prv = 1 - cur
-
-    @pl.when((k == 0) & (i == 0))
-    def _():
-        dma = pltpu.make_async_copy(v0_ref, vbuf.at[0], sem)
-        dma.start()
-        dma.wait()
-        st[_SS] = 0.0
-        st[_SPRV] = 0.0
-        st[_SCUR] = 1.0
-
-    hv, v_blk = _hv_panel(vbuf, cur, i, dwhi_ref, dwlo_ref, uphi_ref,
-                          uplo_ref, a_ref, b_ref, d_dw=d_dw, w_dw=w_dw,
-                          ddp=ddp, d_up=d_up, w_up=w_up, dup=dup)
-    c = ce_ref[0, 0]
-    inv_e = ce_ref[1, 0]
-    fac = jnp.where(k == 0, inv_e, 2.0 * inv_e) * st[_SCUR]
-    r0 = fac * (hv - c * v_blk)
-
-    @pl.when(k > 0)
-    def _():
-        # t_{k+1} = (2/e)(H-c)t_k - t_{k-1} with raw (unnormalized) stored
-        # vectors u_k = t_k * (a_{k-1}.../..): the u_{k-1} coefficient is
-        # 1/(beta_k beta_{k-1}) = s_cur * s_prv (see module docstring)
-        r = r0 - (st[_SCUR] * st[_SPRV]) * vbuf[prv, pl.ds(i * 128, 128), :]
-        vbuf[prv, pl.ds(i * 128, 128), :] = r
-        st[_SS] += jnp.sum(r * r)
-
-    @pl.when(k == 0)
-    def _():
-        vbuf[prv, pl.ds(i * 128, 128), :] = r0
-        st[_SS] += jnp.sum(r0 * r0)
-
-    @pl.when(i == ntd - 1)
-    def _():
-        nrm = jnp.sqrt(st[_SS])
-        st[_SPRV] = st[_SCUR]
-        st[_SCUR] = jnp.where(nrm > 1e-30, 1.0 / nrm, 0.0)
-        st[_SS] = 0.0
-
-        @pl.when(k == kk - 1)
-        def _():
-            ssout_ref[0, 0] = nrm
-            dma2 = pltpu.make_async_copy(vbuf.at[prv], vout_ref, sem2)
-            dma2.start()
-            dma2.wait()
-
-
-@partial(jax.jit, static_argnames=("kk", "interpret"))
-def _cheb_call(op: BlockSparseSectorOp, v32p: jnp.ndarray, ce: jnp.ndarray,
+def _cheb_call(pop: BsPaddedOp, v32p: jnp.ndarray, ce: jnp.ndarray,
                kk: int, interpret: bool = False):
     with jax.enable_x64(False):
         ddp, dup = v32p.shape
-        ntd = ddp // 128
-        kern = partial(_cheb_kernel, kk=kk, d_dw=op.d_dw, w_dw=op.w_dw,
-                       ddp=ddp, d_up=op.d_up, w_up=op.w_up, dup=dup)
+        kern = partial(_cheb_kernel, kk=kk, d_dw=pop.d_dw, w_dw=pop.w_dw,
+                       ddp=ddp, d_up=pop.d_up, w_up=pop.w_up, dup=dup)
         return pl.pallas_call(
             kern,
-            grid=(kk, ntd),
-            in_specs=_chain_specs(op, ddp, dup) + [
+            grid=(kk,),
+            in_specs=_chain_specs(pop, ddp, dup) + [
                 pl.BlockSpec((2, 1), lambda *_: (0, 0),
                              memory_space=pltpu.SMEM),        # (c, 1/e)
             ],
@@ -591,11 +418,11 @@ def _cheb_call(op: BlockSparseSectorOp, v32p: jnp.ndarray, ce: jnp.ndarray,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=CHAIN_VMEM_LIMIT),
             interpret=interpret,
-        )(*_chain_inputs(op, v32p), ce)
+        )(*_chain_inputs(pop, v32p), ce)
 
 
-def cheb_chain(op: BlockSparseSectorOp, v32p: jnp.ndarray, m: int,
-               c: float, e: float, interpret: bool = False) -> jnp.ndarray:
+def cheb_chain(op, v32p: jnp.ndarray, m: int, c: float, e: float,
+               interpret: bool = False) -> jnp.ndarray:
     """m-step scaled Chebyshev filter T_m((H - c)/e) v, normalized output.
 
     Eigencomponents inside [c-e, c+e] are damped to <= 1; components below
@@ -670,16 +497,17 @@ def _dotf(x32, a32):
                    precision=_HIGHEST)
 
 
-def gf_chain_applicable(op: BlockSparseSectorOp, m: int) -> bool:
+def gf_chain_applicable(op, m: int) -> bool:
     """VMEM gate for the f32-fidelity GF chain: 2 f32 planes + both f32
     slab stacks resident; chain length within one kernel launch."""
-    if m > _K_BUCKETS[-1] or op.dw_f32 is None:
+    pop = _pop(op)
+    if m > _K_BUCKETS[-1] or pop.dw_f32 is None:
         return False
-    ddp, dup = op.padded_shape
+    ddp, dup = pop.padded_shape
     ntd, ntu = ddp // 128, dup // 128
     resident = (2 * 4 * ddp * dup
-                + 4 * ntd * 128 * op.w_dw + 4 * ntu * op.w_up * 128
-                + 4 * (ddp + dup) * op.diag_a.shape[1])
+                + 4 * ntd * 128 * pop.w_dw + 4 * ntu * pop.w_up * 128
+                + 4 * (ddp + dup) * pop.diag_a.shape[1])
     return resident <= CHAIN_VMEM_BUDGET
 
 
@@ -687,7 +515,8 @@ def _hv_panel_f32(vbuf, cur, i, dw_ref, up_ref, a_ref, b_ref, *,
                   d_dw: int, w_dw: int, ddp: int, d_up: int, w_up: int,
                   dup: int):
     """Panel i of H_p @ u_cur at full f32 fidelity (6-pass HIGHEST dots
-    over plain f32 banded slabs); same geometry as :func:`_hv_panel`."""
+    over plain f32 banded slabs); same geometry as :func:`_hv_panel`
+    (and untrimmed for the same scoped-VMEM reason)."""
     base_t = jnp.minimum(jnp.maximum(i - d_dw, 0), (ddp - w_dw) // 128)
     v_blk = vbuf[cur, pl.ds(i * 128, 128), :]
     diag_panel = jnp.dot(a_ref[pl.ds(i * 128, 128), :], b_ref[:],
@@ -713,7 +542,7 @@ def _gf_tridiag_kernel(v0_ref, dw_ref, up_ref, a_ref, b_ref,
                        d_dw: int, w_dw: int, ddp: int, d_up: int,
                        w_up: int, dup: int):
     """K Lanczos steps at f32 fidelity — body identical to
-    `_tridiag_kernel2` modulo the panel apply."""
+    `_tridiag_kernel` modulo the panel apply."""
     k = pl.program_id(0)
     ntd = ddp // 128
     cur = jax.lax.rem(k, 2)
@@ -772,22 +601,22 @@ def _gf_tridiag_kernel(v0_ref, dw_ref, up_ref, a_ref, b_ref,
     st[_SS] = 0.0
 
 
-def _gf_tridiag_one(op: BlockSparseSectorOp, v32p: jnp.ndarray, kk: int,
+def _gf_tridiag_one(pop: BsPaddedOp, v32p: jnp.ndarray, kk: int,
                     interpret: bool):
     ddp, dup = v32p.shape
     ntd = ddp // 128
     ntu = dup // 128
-    rp = op.diag_a.shape[1]
-    kern = partial(_gf_tridiag_kernel, kk=kk, d_dw=op.d_dw, w_dw=op.w_dw,
-                   ddp=ddp, d_up=op.d_up, w_up=op.w_up, dup=dup)
+    rp = pop.diag_a.shape[1]
+    kern = partial(_gf_tridiag_kernel, kk=kk, d_dw=pop.d_dw, w_dw=pop.w_dw,
+                   ddp=ddp, d_up=pop.d_up, w_up=pop.w_up, dup=dup)
     return pl.pallas_call(
         kern,
         grid=(kk,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                # v0 (DMA'd)
-            pl.BlockSpec((ddp, op.w_dw), lambda *_: (0, 0),
+            pl.BlockSpec((ddp, pop.w_dw), lambda *_: (0, 0),
                          memory_space=pltpu.VMEM),            # dw f32 (2D)
-            pl.BlockSpec((ntu, op.w_up, 128), lambda *_: (0, 0, 0),
+            pl.BlockSpec((ntu, pop.w_up, 128), lambda *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),            # up f32
             pl.BlockSpec((ddp, rp), lambda *_: (0, 0),
                          memory_space=pltpu.VMEM),            # diag A
@@ -812,28 +641,37 @@ def _gf_tridiag_one(op: BlockSparseSectorOp, v32p: jnp.ndarray, kk: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=CHAIN_VMEM_LIMIT),
         interpret=interpret,
-    )(v32p, op.dw_f32.reshape(ntd * 128, op.w_dw), op.up_f32,
-      op.diag_a, op.diag_b)
+    )(v32p, pop.dw_f32.reshape(ntd * 128, pop.w_dw), pop.up_f32,
+      pop.diag_a, pop.diag_b)
 
 
 @partial(jax.jit, static_argnames=("kk", "b", "interpret"))
-def _gf_batch_call(op: BlockSparseSectorOp, chunk: jnp.ndarray, kk: int,
+def _gf_batch_call(pop: BsPaddedOp, chunk_p: jnp.ndarray, kk: int,
                    b: int, interpret: bool = False):
     """B independent GF chains in ONE XLA program (one dispatch through the
-    tunnel, B sequential kernel launches on device). `chunk` is [bc, dim]
-    f64 natural flat (bc <= b); padding to the permuted padded f32 layout
-    and the zero-chain batch fill happen inside the jit."""
-    bc = chunk.shape[0]
-    vps = [to_padded(op, chunk[i].reshape(op.dim_dw, op.dim_up))
-           for i in range(bc)]
-    vps += [jnp.zeros(op.padded_shape, jnp.float32)] * (b - bc)
+    tunnel, B sequential kernel launches on device). `chunk_p` is
+    [bc, ddp, dup] f32 permuted padded (bc <= b); the zero-chain batch
+    fill happens inside the jit. Keyed on the padded geometry only."""
+    bc = chunk_p.shape[0]
+    vps = [chunk_p[i] for i in range(bc)]
+    vps += [jnp.zeros(pop.padded_shape, jnp.float32)] * (b - bc)
     with jax.enable_x64(False):
         als, bes = [], []
         for i in range(b):
-            al, be = _gf_tridiag_one(op, vps[i], kk, interpret)
+            al, be = _gf_tridiag_one(pop, vps[i], kk, interpret)
             als.append(al[:, 0])
             bes.append(be[:, 0])
         return jnp.stack(als), jnp.stack(bes)
+
+
+@partial(jax.jit, static_argnames=("ddp", "dup"))
+def _to_padded_batch(perm_dw, perm_up, chunk_nd, ddp: int, dup: int):
+    """[B, dd, du] natural -> [B, ddp, dup] permuted padded f32 (the one
+    boundary program that still keys on natural dims — a cheap gather+pad,
+    unlike the kernels)."""
+    vp = chunk_nd[:, perm_dw][:, :, perm_up].astype(jnp.float32)
+    dd, du = chunk_nd.shape[1], chunk_nd.shape[2]
+    return jnp.pad(vp, ((0, 0), (0, ddp - dd), (0, dup - du)))
 
 
 GF_CHAIN_BATCH = 8    # chains per jit (compile time grows with the unroll)
@@ -852,6 +690,8 @@ def gf_tridiag_batch(op: BlockSparseSectorOp, v_batch: jnp.ndarray, m: int,
     of two (dead chains, exactly-zero tridiagonals) so executables are
     per (bucket, pow2-B), not per batch size.
     """
+    pop = op.pop
+    ddp, dup = pop.padded_shape
     kk = _bucket_k(m)
     b_total = v_batch.shape[0]
     interp = _auto_interpret(interpret)
@@ -862,7 +702,10 @@ def gf_tridiag_batch(op: BlockSparseSectorOp, v_batch: jnp.ndarray, m: int,
         bpad = 1
         while bpad < bc:
             bpad *= 2
-        al, be = _gf_batch_call(op, chunk, kk, bpad, interpret=interp)
+        chunk_p = _to_padded_batch(
+            op.perm_dw, op.perm_up,
+            chunk.reshape(bc, op.dim_dw, op.dim_up), ddp, dup)
+        al, be = _gf_batch_call(pop, chunk_p, kk, bpad, interpret=interp)
         al_all.append(np.asarray(al, np.float64)[:bc])
         be_all.append(np.asarray(be, np.float64)[:bc])
     al = np.concatenate(al_all)[:, :m]
@@ -876,25 +719,28 @@ def ground_state_seed(op: BlockSparseSectorOp, m_tri: int = 96,
                       m_cheb: int = 128, seed: int = 17,
                       interpret: bool = False,
                       v0: Optional[jnp.ndarray] = None,
-                      max_rounds: int = 3, eta_target: float = 3e-3
-                      ) -> Tuple[float, jnp.ndarray]:
+                      max_rounds: int = 3, eta_target: float = 3e-3,
+                      return_padded: bool = False):
     """Ground-state seed via fused tridiag chains + Chebyshev filters.
 
     Iterates (tridiag chain -> Ritz bounds -> filter) until the current
     vector's overlap with the lowest Ritz direction reaches
-    1 - eta_target^2 (or ``max_rounds``). The damping cut sits strictly inside the (theta_0,
-    theta_1) Ritz gap so the first excited state is never amplified, and
-    the upper bound b is taken from the FIRST round (a random start sees
-    the top of the spectrum; filtered starts do not — re-estimating b from
-    them would underestimate lambda_max and blow up the filter).
+    1 - eta_target^2 (or ``max_rounds``). The damping cut sits strictly
+    inside the (theta_0, theta_1) Ritz gap so the first excited state is
+    never amplified, and the upper bound b is taken from the FIRST round
+    (a random start sees the top of the spectrum; filtered starts do not —
+    re-estimating b from them would underestimate lambda_max and blow up
+    the filter).
 
-    Returns (theta_min estimate, normalized seed vector in the natural
-    [dim_dw, dim_up] f64 layout, eta) where eta is the (conservative,
-    last-measured) estimated angle of the seed to the lowest Ritz
-    direction — the two-stage solver uses it to decide whether the
-    Lanczos top-off can be skipped. The pad subspace starts exactly zero
-    and stays exactly zero (zero factor rows, to_padded zero-fill), so the
-    PAD_SHIFT diagonal never enters the bounds.
+    Returns (theta_min estimate, normalized seed vector, eta): the seed in
+    the natural [dim_dw, dim_up] f64 layout by default, or the permuted
+    padded f32 layout when ``return_padded`` (the padded-space solver path
+    — no natural-shape program is compiled then). eta is the
+    (conservative, last-measured) estimated angle of the seed to the
+    lowest Ritz direction — the two-stage solver uses it to decide whether
+    the Lanczos top-off can be skipped. The pad subspace starts exactly
+    zero and stays exactly zero (zero factor rows, to_padded zero-fill),
+    so the PAD_SHIFT diagonal never enters the bounds.
     """
     if v0 is None:
         v0n = jax.random.normal(jax.random.PRNGKey(seed),
@@ -922,6 +768,8 @@ def ground_state_seed(op: BlockSparseSectorOp, m_tri: int = 96,
         c = 0.5 * (b_global + cut)
         e = max(0.5 * (b_global - cut), 1e-12 * span)
         v = cheb_chain(op, v, m_cheb, c, e, interpret=interpret)
+    if return_padded:
+        return float(theta[0]), v, eta
     vnat = from_padded(op, v, jnp.float64)
     vnat = vnat / jnp.linalg.norm(vnat)
     return float(theta[0]), vnat, eta

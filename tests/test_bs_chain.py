@@ -164,7 +164,7 @@ def test_sharded_bs_matvec_matches_serial():
     """Dw-sharded band-sparse fused matvec (ppermute halo exchange,
     parallel/bs_sharded.py) == single-chip fused matvec, on a 2-device
     mesh where the band constraint ntd/n >= d_dw+1 holds."""
-    from dmft_lanc_ed_tpu.ops.blocksparse import _matvec_padded
+    from dmft_lanc_ed_tpu.ops.blocksparse import _matvec_padded_pop
     from dmft_lanc_ed_tpu.parallel.bs_sharded import (bs_shard_applicable,
                                                       make_sharded_bs_matvec)
     from dmft_lanc_ed_tpu.parallel.mesh import make_mesh
@@ -180,7 +180,10 @@ def test_sharded_bs_matvec_matches_serial():
     v = jax.random.normal(jax.random.PRNGKey(7),
                           (op.dim_dw, op.dim_up), jnp.float64)
     vp = to_padded(op, v / jnp.linalg.norm(v))
-    y_ser, ss_ser = _matvec_padded(op, vp, jnp.float32(1.0), interpret=True)
+    # grid-form serial kernel: same per-panel dot grouping as the sharded
+    # kernel (the static-runs kernel groups the window dots differently)
+    y_ser, ss_ser = _matvec_padded_pop(op.pop, vp, jnp.float32(1.0),
+                                       interpret=True)
     apply_sh, _spec = make_sharded_bs_matvec(op, mesh)
     y_sh, ss_sh = apply_sh(vp)
     np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ser),

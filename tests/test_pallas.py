@@ -53,6 +53,22 @@ def test_blocksparse_kernel_matches_xla(sqn):
     y_exact = np.asarray(
         matvec_bs_exact_flat(op, v.reshape(-1))).reshape(y_ref.shape)
     np.testing.assert_allclose(y_exact, y_ref, atol=1e-12 * scale)
+    # static-runs kernel == grid kernel to f32 grouping tolerance, and the
+    # runs stash exists + is applicable at these sizes
+    from dmft_lanc_ed_tpu.ops.blocksparse import (_matvec_padded_pop,
+                                                  _matvec_padded_runs,
+                                                  _runs_applicable)
+    assert getattr(op.pop, "_trim_runs", None) is not None
+    assert _runs_applicable(op.pop)
+    runs = op.pop._trim_runs
+    y_runs, ss_runs = _matvec_padded_runs(op.pop, vp, jnp.float32(1.0),
+                                          runs[0], runs[1], interpret=True)
+    y_grid, ss_grid = _matvec_padded_pop(op.pop, vp, jnp.float32(1.0),
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(y_runs), np.asarray(y_grid),
+                               atol=1e-5 * scale)
+    assert abs(float(np.sum(np.asarray(ss_runs)))
+               - float(np.sum(np.asarray(ss_grid)))) < 1e-4 * scale
 
 
 def test_blocksparse_two_orbitals():
