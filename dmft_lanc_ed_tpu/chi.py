@@ -115,9 +115,12 @@ ChiSet = Dict[Tuple[int, int], ChiPoles]    # (iorb, jorb); (-1,-1) = total
 
 
 def _diag_op_excite(cfg, sec, vec, diag_op):
-    """vvinit = O|psi> for a diagonal operator O[dw, up] (same sector)."""
-    v = vec.reshape(sec.dim_ph, sec.dim_dw, sec.dim_up)
-    return (v * diag_op[None]).reshape(-1)
+    """vvinit = O|psi> for a diagonal operator O[dw, up] (same sector).
+
+    Host numpy: the per-sector-shape multiply would otherwise compile one
+    device executable per sector through the remote compiler (cold tail)."""
+    v = np.asarray(vec).reshape(sec.dim_ph, sec.dim_dw, sec.dim_up)
+    return (v * np.asarray(diag_op)[None]).reshape(-1)
 
 
 def _store_poles(cfg, alphas, betas, norm2, state_e, therm,
@@ -144,10 +147,11 @@ def _store_poles(cfg, alphas, betas, norm2, state_e, therm,
 
 def _accumulate(cfg, hcache, sqn, vv, state_e, therm, chi: ChiPoles) -> None:
     """Krylov-tridiagonalize O|psi> and store one-sided pole data."""
-    norm2 = float(jnp.vdot(vv, vv).real)
+    vv = np.asarray(vv)
+    norm2 = float(np.vdot(vv, vv).real)
     if norm2 < 1e-28:
         return
-    vv = vv / jnp.sqrt(norm2)
+    vv = jnp.asarray(vv / np.sqrt(norm2))
     op, op_apply = hcache(sqn)
     from .gf import unwrap_op
     op, pad_flat, _ = unwrap_op(op)
@@ -171,11 +175,12 @@ class _ChiBatcher:
         self.max_bytes = max_bytes
 
     def add(self, sqn, vv, state_e, therm, chi: ChiPoles) -> None:
-        norm2 = float(jnp.vdot(vv, vv).real)
+        vv = np.asarray(vv)
+        norm2 = float(np.vdot(vv, vv).real)
         if norm2 < 1e-28:
             return
         self.groups.setdefault(sqn, []).append(
-            (vv / jnp.sqrt(norm2), norm2, state_e, therm, chi))
+            (vv / np.sqrt(norm2), norm2, state_e, therm, chi))
 
     def run(self) -> None:
         from .utils.observability import kernel_stats
@@ -208,10 +213,11 @@ class _ChiBatcher:
                 bpad = 1
                 while bpad < len(chunk):
                     bpad *= 2
-                v0 = jnp.stack([t[0] for t in chunk])
+                v0 = np.stack([np.asarray(t[0]) for t in chunk])
                 if bpad > len(chunk):
-                    v0 = jnp.concatenate(
-                        [v0, jnp.zeros((bpad - len(chunk), dim), v0.dtype)])
+                    v0 = np.concatenate(
+                        [v0, np.zeros((bpad - len(chunk), dim), v0.dtype)])
+                v0 = jnp.asarray(v0)
                 if pad_batch is not None:
                     v0 = pad_batch(v0)
                 kernel_stats.record(m * len(chunk), getattr(op, "nnz", 0))
@@ -285,10 +291,8 @@ def build_chi_spin(cfg: EDConfig, table: SectorTable, hcache: HCache,
                    state_list: StateList) -> ChiSet:
     """S_z(a) = (n_up,a - n_dw,a)/2 response (build_chi_spin)."""
     def op(sec, a):
-        ou = jnp.asarray(occupations(sec.states_up[0], cfg.ns)[:, a],
-                         jnp.float64)
-        od = jnp.asarray(occupations(sec.states_dw[0], cfg.ns)[:, a],
-                         jnp.float64)
+        ou = occupations(sec.states_up[0], cfg.ns)[:, a].astype(np.float64)
+        od = occupations(sec.states_dw[0], cfg.ns)[:, a].astype(np.float64)
         return 0.5 * (ou[None, :] - od[:, None])
     return _build_chi_diagop(cfg, table, hcache, state_list, op)
 
@@ -297,10 +301,8 @@ def build_chi_dens(cfg: EDConfig, table: SectorTable, hcache: HCache,
                    state_list: StateList) -> ChiSet:
     """Total density n(a) response (build_chi_dens)."""
     def op(sec, a):
-        ou = jnp.asarray(occupations(sec.states_up[0], cfg.ns)[:, a],
-                         jnp.float64)
-        od = jnp.asarray(occupations(sec.states_dw[0], cfg.ns)[:, a],
-                         jnp.float64)
+        ou = occupations(sec.states_up[0], cfg.ns)[:, a].astype(np.float64)
+        od = occupations(sec.states_dw[0], cfg.ns)[:, a].astype(np.float64)
         return ou[None, :] + od[:, None]
     return _build_chi_diagop(cfg, table, hcache, state_list, op)
 
@@ -486,13 +488,12 @@ def build_gf_phonon(cfg: EDConfig, table: SectorTable, hcache: HCache,
     for p in range(cfg.dim_ph - 1):
         x[p, p + 1] = np.sqrt(p + 1.0)
         x[p + 1, p] = np.sqrt(p + 1.0)
-    xj = jnp.asarray(x)
     batcher = _ChiBatcher(cfg, hcache)
     for w_s, st in zip(weights, state_list.states):
         wi = w_s if cfg.finite_t else 1.0
         sec = table.sector(st.qn)
-        v = st.vec.reshape(sec.dim_ph, sec.dim_dw, sec.dim_up)
-        vv = jnp.einsum("pq,qdu->pdu", xj, v).reshape(-1)
+        v = np.asarray(st.vec).reshape(sec.dim_ph, sec.dim_dw, sec.dim_up)
+        vv = np.einsum("pq,qdu->pdu", x, v).reshape(-1)
         batcher.add(st.qn, vv, st.e, (e0, emax, zeta, wi), chi)
     batcher.run()
     return chi

@@ -217,9 +217,9 @@ def _blocksparse_ground_state(cfg: EDConfig, op, dim: int, neigen: int,
                                                            abs(vals[0])):
                     return unpad_all(vals, vecs)
     else:
-        v0n = jax.random.normal(jax.random.PRNGKey(17),
-                                (op.dim_dw, op.dim_up), jnp.float64)
-        v0 = to_padded(op, v0n / jnp.linalg.norm(v0n))
+        v0n = np.random.default_rng(17).standard_normal(
+            (op.dim_dw, op.dim_up))
+        v0 = to_padded(op, v0n / np.linalg.norm(v0n))
         _, evecs_p = lanczos_ground_state(
             pop, matvec_bs_padded, pop.dim, neigen, ncv=ncv,
             tol=max(_lanc_tol(cfg), 5e-5), dtype=jnp.float32, v0=v0,
@@ -330,8 +330,11 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
             else None
 
         def twin_vec(vec_flat):
-            v3 = vec_flat.reshape(sec.dim_ph, sec.dim_dw, sec.dim_up)
-            return jnp.swapaxes(v3, 1, 2).reshape(-1)
+            # host transpose: avoids one tiny device executable per sector
+            # shape through the remote compiler (cold-diag tail)
+            v3 = np.asarray(vec_flat).reshape(sec.dim_ph, sec.dim_dw,
+                                              sec.dim_up)
+            return jnp.asarray(np.swapaxes(v3, 1, 2).reshape(-1))
 
         for k in range(len(evals)):
             e = float(evals[k])

@@ -8,9 +8,10 @@ that are deliberate re-architecture, not behavior changes:
   ED_VARS_GLOBAL.f90:87-96) and evaluated on any frequency grid in one
   broadcast — the reference's per-frequency accumulation loops
   (ED_GF_NORMAL.f90:638-653) become a single [Npoles, L] rational-sum kernel.
-- Excitation vectors c|psi>, c^+|psi> are built by masked device scatters
-  using the precomputed sector maps (replacing the master-only loop +
-  binary_search of ED_GF_NORMAL.f90:184-216).
+- Excitation vectors c|psi>, c^+|psi> are built on HOST by injective fancy
+  assignment over the precomputed sector maps (replacing the master-only
+  loop + binary_search of ED_GF_NORMAL.f90:184-216); chains transfer them
+  to the device once per batch.
 - The Krylov tridiagonalization is the jitted scan of
   :func:`~dmft_lanc_ed_tpu.ops.lanczos.lanczos_tridiag`; the tiny tridiagonal
   eigenproblem runs on host LAPACK (same as the reference's `eigh`).
@@ -84,34 +85,34 @@ class GFData:
 # --------------------------------------------------------------------------
 # excitation vectors: apply c / c^+ mapping between sectors, on device
 # --------------------------------------------------------------------------
-def apply_op(cfg: EDConfig, sec_from: Sector, sec_to: Sector, vec: jnp.ndarray,
-             iorb: int, ispin: int, create: bool) -> jnp.ndarray:
+def apply_op(cfg: EDConfig, sec_from: Sector, sec_to: Sector, vec,
+             iorb: int, ispin: int, create: bool) -> np.ndarray:
     """vvinit = c^{(+)}_{iorb, ispin} |vec>, mapped into sector `sec_to`.
 
-    vec: flat in sector_from linear order; returns flat in sector_to order.
-    (ED_GF_NORMAL.f90:184-216 / 259-290 behavior.)
+    vec: flat in sector_from linear order; returns flat in sector_to order
+    (ED_GF_NORMAL.f90:184-216 / 259-290 behavior). Runs on HOST: the c/cdg
+    map is injective so the scatter is a fancy assignment over numpy
+    arrays — the device version compiled a fresh gather/scatter executable
+    per (source, target) sector-shape pair, and a sector scan queues
+    hundreds of distinct pairs (the round-4 cold-GF wall's tail). The
+    Krylov chains downstream transfer the start vectors once per batch.
     """
     du_f, dd_f, dp = sec_from.dim_up, sec_from.dim_dw, sec_from.dim_ph
     du_t, dd_t = sec_to.dim_up, sec_to.dim_dw
-    v = vec.reshape(dp, dd_f, du_f)
+    v = np.asarray(vec).reshape(dp, dd_f, du_f)
     if ispin == 0:
         idx, sgn = op_map(sec_from.states_up[0], sec_to.states_up[0],
                           iorb, create)
-        mask = idx >= 0
-        safe = np.where(mask, idx, 0)
-        contrib = v * jnp.asarray(sgn, v.dtype)[None, None, :]
-        out = jnp.zeros((dp, dd_t, du_t), v.dtype)
-        out = out.at[:, :, jnp.asarray(safe)].add(
-            jnp.where(jnp.asarray(mask)[None, None, :], contrib, 0.0))
+        m = idx >= 0
+        out = np.zeros((dp, dd_t, du_t), v.dtype)
+        out[:, :, idx[m]] = v[:, :, m] * sgn[m].astype(v.dtype)[None, None]
     else:
         idx, sgn = op_map(sec_from.states_dw[0], sec_to.states_dw[0],
                           iorb, create)
-        mask = idx >= 0
-        safe = np.where(mask, idx, 0)
-        contrib = v * jnp.asarray(sgn, v.dtype)[None, :, None]
-        out = jnp.zeros((dp, dd_t, du_f), v.dtype)
-        out = out.at[:, jnp.asarray(safe), :].add(
-            jnp.where(jnp.asarray(mask)[None, :, None], contrib, 0.0))
+        m = idx >= 0
+        out = np.zeros((dp, dd_t, du_f), v.dtype)
+        out[:, idx[m], :] = v[:, m, :] \
+            * sgn[m].astype(v.dtype)[None, :, None]
     return out.reshape(-1)
 
 
@@ -262,12 +263,12 @@ def _one_excitation(cfg: EDConfig, table: SectorTable, hcache: HCache,
         return
     sec_i = table.sector(sqn)
     sec_j = table.sector(jqn)
-    vv = op_vec if op_vec is not None else apply_op(
+    vv = np.asarray(op_vec) if op_vec is not None else apply_op(
         cfg, sec_i, sec_j, state_vec, iorb, ispin, create)
-    norm2 = float(jnp.vdot(vv, vv).real)
+    norm2 = float(np.vdot(vv, vv).real)
     if norm2 < 1e-28:
         return
-    vv = vv / jnp.sqrt(norm2)
+    vv = jnp.asarray(vv / np.sqrt(norm2))
     op, op_apply = hcache(jqn)
     op, pad_flat, _ = unwrap_op(op)
     if pad_flat is not None:
@@ -367,11 +368,12 @@ class _ExcBatcher:
                             [vs, np.zeros((bpad - len(chunk), dim))])
                     v0 = sop.pad_flat_batch(vs)
                 else:
-                    v0 = jnp.stack([t[0] for t in chunk])
+                    v0 = np.stack([np.asarray(t[0]) for t in chunk])
                     if bpad > len(chunk):
-                        v0 = jnp.concatenate(
-                            [v0, jnp.zeros((bpad - len(chunk), dim),
-                                           v0.dtype)])
+                        v0 = np.concatenate(
+                            [v0, np.zeros((bpad - len(chunk), dim),
+                                          v0.dtype)])
+                    v0 = jnp.asarray(v0)
                     if pad_batch is not None:
                         v0 = pad_batch(v0)
                 kernel_stats.record(m * len(chunk), getattr(op, "nnz", 0))
@@ -392,12 +394,12 @@ def _queue_excitation(cfg, table, batcher: _ExcBatcher, st, iorb, ispin,
         return
     sec_i = table.sector(st.qn)
     sec_j = table.sector(jqn)
-    vv = op_vec if op_vec is not None else apply_op(
+    vv = np.asarray(op_vec) if op_vec is not None else apply_op(
         cfg, sec_i, sec_j, st.vec, iorb, ispin, create)
-    norm2 = float(jnp.vdot(vv, vv).real)
+    norm2 = float(np.vdot(vv, vv).real)
     if norm2 < 1e-28:
         return
-    batcher.add(jqn, vv / jnp.sqrt(norm2), norm2, st.e, isign, peso, gf)
+    batcher.add(jqn, vv / np.sqrt(norm2), norm2, st.e, isign, peso, gf)
 
 
 def build_gf_normal(cfg: EDConfig, table: SectorTable, hcache: HCache,

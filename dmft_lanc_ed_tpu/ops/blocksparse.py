@@ -440,7 +440,7 @@ def build_blocksparse_op(h: SectorHamiltonian) -> BlockSparseSectorOp:
     # jit keys and dropped across jit boundaries (traced pytrees fall back
     # to the untrimmed grid kernel) — see module docstring #4
     object.__setattr__(pop, "_trim_runs", (dw_runs, up_runs))
-    return BlockSparseSectorOp(
+    op_out = BlockSparseSectorOp(
         pop=pop,
         perm_dw=jnp.asarray(perm_dw), perm_up=jnp.asarray(perm_up),
         iperm_dw=jnp.asarray(inv_dw), iperm_up=jnp.asarray(inv_up),
@@ -448,6 +448,12 @@ def build_blocksparse_op(h: SectorHamiltonian) -> BlockSparseSectorOp:
         hup32=jnp.asarray(hup, jnp.float32),
         hdw32=jnp.asarray(hdw, jnp.float32),
         dim_dw=dd, dim_up=du, nnz_count=h.nnz)
+    # host copies of the permutations: to_padded/from_padded run on HOST
+    # so the per-sector boundary crossing costs one transfer, not a fresh
+    # per-shape device executable (gather+pad) through the remote compiler
+    object.__setattr__(op_out, "_perm_host",
+                       (perm_dw, np.asarray(perm_up), inv_dw, inv_up))
+    return op_out
 
 
 # --------------------------------------------------------------------------
@@ -694,18 +700,38 @@ def chain_step(op, v32p: jnp.ndarray, inv_norm: jnp.ndarray,
 # --------------------------------------------------------------------------
 # boundary helpers (natural <-> permuted padded)
 # --------------------------------------------------------------------------
+def _perm_host(op: BlockSparseSectorOp):
+    stash = getattr(op, "_perm_host", None)
+    if stash is None:
+        stash = (np.asarray(op.perm_dw), np.asarray(op.perm_up),
+                 np.asarray(op.iperm_dw), np.asarray(op.iperm_up))
+        object.__setattr__(op, "_perm_host", stash)
+    return stash
+
+
 def to_padded(op: BlockSparseSectorOp, v: jnp.ndarray) -> jnp.ndarray:
-    """Natural [dd, du] (any float dtype) -> permuted padded f32."""
+    """Natural [dd, du] (any float dtype) -> permuted padded f32.
+
+    Runs on HOST (numpy gather + pad, one transfer each way): each sector
+    pair (dd, du) would otherwise compile its own tiny gather/pad device
+    executables through the remote compiler — at a sector scan's ~tens of
+    distinct shapes those seconds-each compiles add up (the round-4
+    cold-diag wall's long tail)."""
+    pd, pu, _, _ = _perm_host(op)
     ddp, dup = op.padded_shape
-    vp = v[op.perm_dw][:, op.perm_up].astype(jnp.float32)
-    return jnp.pad(vp, ((0, ddp - op.dim_dw), (0, dup - op.dim_up)))
+    vn = np.asarray(v)
+    out = np.zeros((ddp, dup), np.float32)
+    out[:op.dim_dw, :op.dim_up] = vn[pd][:, pu]
+    return jnp.asarray(out)
 
 
 def from_padded(op: BlockSparseSectorOp, v32p: jnp.ndarray,
                 dtype=jnp.float64) -> jnp.ndarray:
-    """Permuted padded (any float dtype) -> natural [dd, du] in `dtype`."""
-    v = v32p[:op.dim_dw, :op.dim_up]
-    return v[op.iperm_dw][:, op.iperm_up].astype(dtype)
+    """Permuted padded (any float dtype) -> natural [dd, du] in `dtype`
+    (host numpy; see :func:`to_padded`)."""
+    _, _, ipd, ipu = _perm_host(op)
+    vn = np.asarray(v32p)[:op.dim_dw, :op.dim_up]
+    return jnp.asarray(vn[ipd][:, ipu].astype(np.dtype(dtype)))
 
 
 # --------------------------------------------------------------------------

@@ -743,9 +743,10 @@ def ground_state_seed(op: BlockSparseSectorOp, m_tri: int = 96,
     so the PAD_SHIFT diagonal never enters the bounds.
     """
     if v0 is None:
-        v0n = jax.random.normal(jax.random.PRNGKey(seed),
-                                (op.dim_dw, op.dim_up), jnp.float64)
-        v0 = to_padded(op, v0n / jnp.linalg.norm(v0n))
+        # host RNG + host to_padded: no per-sector-shape device executables
+        rng = np.random.default_rng(seed)
+        v0n = rng.standard_normal((op.dim_dw, op.dim_up))
+        v0 = to_padded(op, v0n / np.linalg.norm(v0n))
     v = v0
     b_global = None
     theta = None
