@@ -107,37 +107,76 @@ def _solve_batched_sectors(cfg: EDConfig, table: SectorTable, hloc, bath,
                   2 * neigen + 16)
         if dim < ncv:
             continue                       # basis would exhaust the sector
-        key = (_pow2_at_least(sec.dim_up), _pow2_at_least(sec.dim_dw))
+        # orientation-canonical grouping: (nup, ndw) and its mirror share
+        # one bucket (the op is transposed below via batched.transpose_op)
+        key = tuple(sorted((_pow2_at_least(sec.dim_up, floor=64),
+                            _pow2_at_least(sec.dim_dw, floor=64))))
         prelim.setdefault(key, []).append((sqn, sec, neigen))
 
     results: Dict = {}
     for key, members in prelim.items():
-        if len(members) < 2:
-            continue
-        # build ops, split by exact bucket key (nd/ph structure)
+        # build ops, split by exact bucket key (nd/ph structure).
+        # Singletons batch too (b pow2-padded inside the bucket solver):
+        # keeping them OUT of the bucket path sent each to the serial
+        # per-sector solver — a fresh executable set per sector, the
+        # round-4 cold-diag wall's second half.
         exact: Dict = {}
+        transposed: set = set()
         for sqn, sec, neigen in members:
-            op = build_dense_op(cfg, sec, hloc, bath, h_basis=h_basis)
+            # host-resident fields: pad/transpose/stack stay on host and
+            # push one stacked array per field (the per-field round trips
+            # were ~19 s of the bethe9 warm diag)
+            op = build_dense_op(cfg, sec, hloc, bath, h_basis=h_basis,
+                                to_device=False)
+            if _pow2_at_least(op.dim_up, floor=64) \
+                    > _pow2_at_least(op.dim_dw, floor=64):
+                from .ops.batched import transpose_op
+                op = transpose_op(op)
+                transposed.add(sqn)
             exact.setdefault(bucket_key(op), []).append((sqn, op, neigen))
         for bkey, group in exact.items():
-            if len(group) < 2:
-                continue
-            neigen = max(g[2] for g in group)
-            dims = [g[1].dim for g in group]
-            ncv = max(min(min(dims),
-                          cfg.lanc_ncv_factor * neigen + cfg.lanc_ncv_add),
-                      2 * neigen + 16)
-            ncv = min(ncv, min(dims))
-            sols = lanczos_ground_state_bucket(
-                [g[1] for g in group], neigen, tol=_lanc_tol(cfg),
-                precision=resolve_precision(cfg), ncv=ncv,
-                dtype=jnp.dtype(cfg.ed_dtype))
-            n_ok = sum(s is not None for s in sols)
-            log.info("batched bucket %s: %d sectors, neigen=%d, %d solved",
-                     bkey[:2], len(group), neigen, n_ok)
-            for (sqn, _, _), sol in zip(group, sols):
-                if sol is not None:
-                    results[sqn] = sol
+            # fixed-size chunks: every chunk of a shape reuses ONE vmapped
+            # executable (b padded to B_FIXED / pow2 above it) instead of
+            # compiling per group size
+            from .ops.batched import B_FIXED
+            for c0 in range(0, len(group), B_FIXED):
+                chunk = group[c0:c0 + B_FIXED]
+                neigen = max(g[2] for g in chunk)
+                dims = [g[1].dim for g in chunk]
+                # deeper basis than the serial default: measured optimum
+                # on-chip at nbath=9 (m=48: 22 restarts/36.7 s warm beats
+                # m=24: 46 restarts/54 s and m=20-era 60+ s) — restart
+                # count dominates over the ~m^2 emulated-f64 CGS2 cost
+                ncv = max(min(min(dims),
+                              max(48, cfg.lanc_ncv_factor * neigen
+                                  + cfg.lanc_ncv_add)),
+                          2 * neigen + 16)
+                ncv = min(ncv, min(dims))
+                # f64 basis: an f32 thick-restart basis was measured to
+                # EXPLODE the restart count 7x (f32 Ritz prefixes cannot
+                # hold the deflated subspace) and still missed 2e-9 of
+                # Egs through the guarded polish — the emulated-f64 CGS2
+                # cost is instead controlled by the basis depth below
+                sols = lanczos_ground_state_bucket(
+                    [g[1] for g in chunk], neigen, tol=_lanc_tol(cfg),
+                    precision=resolve_precision(cfg), ncv=ncv,
+                    dtype=jnp.dtype(cfg.ed_dtype))
+                n_ok = sum(s is not None for s in sols)
+                log.info("batched bucket %s: %d sectors, neigen=%d, "
+                         "%d solved", bkey[:2], len(chunk), neigen, n_ok)
+                for (sqn, c_op, _), sol in zip(chunk, sols):
+                    if sol is None:
+                        continue
+                    vals, flat = sol
+                    if sqn in transposed:
+                        # vectors come back in the transposed layout
+                        # [.., du, dd]; swap to the natural order
+                        sec_t = table.sector(sqn)
+                        k = flat.shape[0]
+                        v3 = flat.reshape(k, sec_t.dim_ph, sec_t.dim_up,
+                                          sec_t.dim_dw)
+                        flat = np.swapaxes(v3, 2, 3).reshape(k, -1)
+                    results[sqn] = (vals, flat)
     return results
 
 
@@ -267,25 +306,49 @@ def diagonalize_impurity(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
             evals, evecs = evals[:neigen], evecs[:neigen]
         elif lanc_solve and should_shard(cfg, mesh, sec.dim_dw, dim):
             # production dw-sharded solve (reference: P-ARPACK over the
-            # MPI Dw-split, ED_DIAG.f90:151-171); dense or matrix-free
-            # (direct) backend, per resolve_backend
+            # MPI Dw-split, ED_DIAG.f90:151-171). Dispatch policy: the
+            # band-sparse fused kernel (flagship) when its halo-sharded
+            # form applies to this sector/mesh; else the dense/direct
+            # sharded backend per resolve_backend — each choice logged.
             from .parallel.production import shard_sector_op
-            sop = shard_sector_op(cfg, sec, hloc, bath, h_basis, mesh)
             ncv = min(dim, cfg.lanc_ncv_factor * neigen + cfg.lanc_ncv_add)
             ncv = max(ncv, 2 * neigen + 16)
-            # start vector with exact-zero pad rows (the pad subspace is
-            # invariant; see parallel.production.pad_dense_op)
-            v0 = sop.pad_flat(jax.random.normal(
-                jax.random.PRNGKey(17), (dim,), jnp.dtype(cfg.ed_dtype)))
-            evals, evecs_pad = lanczos_ground_state(
-                sop.op, sop.apply_nd, int(np.prod(sop.vshape)), neigen,
-                ncv=min(ncv, dim), tol=_lanc_tol(cfg),
-                dtype=jnp.dtype(cfg.ed_dtype), v0=v0,
-                vshape=sop.vshape, sharding=sop.sharding,
-                polish_apply=(None if sop.exact_nd is sop.apply_nd
-                              or resolve_precision(cfg) == "f64"
-                              else sop.exact_nd))
-            evecs = np.stack([sop.unpad_flat(v) for v in evecs_pad])
+            bs_done = False
+            if resolve_backend(cfg) == "pallas":
+                from .parallel.bs_sharded import (blocksparse_shardable,
+                                                  bs_sharded_ground_state)
+                h = build_sector_hamiltonian(cfg, sec, hloc, bath,
+                                             h_basis=h_basis)
+                why_not = blocksparse_shardable(h, mesh.devices.size)
+                if why_not is None:
+                    from .ops.blocksparse import build_blocksparse_op
+                    log.info("sector %s (dim %d): dw-sharded band-sparse "
+                             "fused solve on %d devices", sqn, dim,
+                             mesh.devices.size)
+                    bs_op = build_blocksparse_op(h)
+                    evals, evecs = bs_sharded_ground_state(
+                        cfg, bs_op, mesh, neigen, min(ncv, dim))
+                    bs_done = True
+                else:
+                    log.info("sector %s (dim %d): band-sparse shard path "
+                             "unavailable (%s) — sharded %s backend", sqn,
+                             dim, why_not,
+                             "direct" if not cfg.ed_sparse_h else "dense")
+            if not bs_done:
+                sop = shard_sector_op(cfg, sec, hloc, bath, h_basis, mesh)
+                # start vector with exact-zero pad rows (the pad subspace
+                # is invariant; see parallel.production.pad_dense_op)
+                v0 = sop.pad_flat(jax.random.normal(
+                    jax.random.PRNGKey(17), (dim,), jnp.dtype(cfg.ed_dtype)))
+                evals, evecs_pad = lanczos_ground_state(
+                    sop.op, sop.apply_nd, int(np.prod(sop.vshape)), neigen,
+                    ncv=min(ncv, dim), tol=_lanc_tol(cfg),
+                    dtype=jnp.dtype(cfg.ed_dtype), v0=v0,
+                    vshape=sop.vshape, sharding=sop.sharding,
+                    polish_apply=(None if sop.exact_nd is sop.apply_nd
+                                  or resolve_precision(cfg) == "f64"
+                                  else sop.exact_nd))
+                evecs = np.stack([sop.unpad_flat(v) for v in evecs_pad])
         elif lanc_solve:
             op, op_apply = make_sector_op(cfg, sec, hloc, bath,
                                           h_basis=h_basis)

@@ -105,9 +105,15 @@ def _densify_ell(cols: np.ndarray, vals: np.ndarray, n: int) -> np.ndarray:
     return h
 
 
-def densify(h: SectorHamiltonian) -> DenseSectorOp:
-    """SectorHamiltonian (ELL factors) -> dense tensor-product factors."""
+def densify(h: SectorHamiltonian, to_device: bool = True) -> DenseSectorOp:
+    """SectorHamiltonian (ELL factors) -> dense tensor-product factors.
+
+    ``to_device=False`` keeps every field as host numpy — the batched
+    bucket path pads/transposes/stacks on host and pushes ONE stacked
+    array per field (the per-field device round trips were 18.5 s of the
+    bethe9 warm diag; round-5 fix)."""
     du, dd = h.dim_up, h.dim_dw
+    put = jnp.asarray if to_device else np.asarray
     hup = _densify_ell(np.asarray(h.up_cols), np.asarray(h.up_vals, np.float64), du)
     hdw = _densify_ell(np.asarray(h.dw_cols), np.asarray(h.dw_vals, np.float64), dd)
     kw = {}
@@ -120,26 +126,27 @@ def densify(h: SectorHamiltonian) -> DenseSectorOp:
                 np.asarray(h.nd_up_val[t], np.float64)
             nd_b[t, np.arange(dd), np.asarray(h.nd_dw_src[t])] = \
                 np.asarray(h.nd_dw_val[t], np.float64)
-        kw.update(nd_a=jnp.asarray(nd_a), nd_b=jnp.asarray(nd_b),
-                  nd_a32=jnp.asarray(nd_a, jnp.float32),
-                  nd_b32=jnp.asarray(nd_b, jnp.float32))
+        kw.update(nd_a=put(nd_a), nd_b=put(nd_b),
+                  nd_a32=put(np.asarray(nd_a, np.float32)),
+                  nd_b32=put(np.asarray(nd_b, np.float32)))
     if h.ph_diag is not None:
-        kw.update(ph_diag=jnp.asarray(h.ph_diag, jnp.float64),
-                  eph_el=jnp.asarray(h.eph_el, jnp.float64),
-                  eph_x=jnp.asarray(h.eph_x, jnp.float64))
+        kw.update(ph_diag=put(np.asarray(h.ph_diag, np.float64)),
+                  eph_el=put(np.asarray(h.eph_el, np.float64)),
+                  eph_x=put(np.asarray(h.eph_x, np.float64)))
     return DenseSectorOp(
-        diag=jnp.asarray(h.diag, jnp.float64),
-        hup=jnp.asarray(hup), hdw=jnp.asarray(hdw),
-        hup32=jnp.asarray(hup, jnp.float32),
-        hdw32=jnp.asarray(hdw, jnp.float32),
+        diag=put(np.asarray(h.diag, np.float64)),
+        hup=put(hup), hdw=put(hdw),
+        hup32=put(np.asarray(hup, np.float32)),
+        hdw32=put(np.asarray(hdw, np.float32)),
         nnz_count=h.nnz, **kw)
 
 
 def build_dense_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray, bath: Bath,
-                   h_basis: Optional[np.ndarray] = None) -> DenseSectorOp:
+                   h_basis: Optional[np.ndarray] = None,
+                   to_device: bool = True) -> DenseSectorOp:
     h = build_sector_hamiltonian(cfg, sec, hloc, bath, h_basis=h_basis,
                                  dtype=jnp.float64)
-    return densify(h)
+    return densify(h, to_device=to_device)
 
 
 # --------------------------------------------------------------------------

@@ -168,7 +168,10 @@ def _build_basis_rr(op, prefix, theta0, v_start, m: int, l: int,
     def body(i, carry):
         vb, t_mat, v, _ = carry
         vb = jax.lax.dynamic_update_index_in_dim(vb, v, i, 0)
-        w = op_apply(op, v)
+        # cast to the basis dtype: a mixed apply promotes through its f64
+        # diagonal even when the basis runs f32 (the accelerator bucket
+        # path — f64 basis arithmetic is emulated on TPU)
+        w = op_apply(op, v).astype(v.dtype)
         c1 = _proj(vb, w)               # rows > i are zero -> c1 zero there
         t_mat = jax.lax.dynamic_update_slice(t_mat, c1[:, None], (0, i))
         w = w - _comb(c1, vb)
