@@ -506,15 +506,34 @@ def phase_pallas(out_path: str, e_ref):
 def _run_phase(phase: str, out_path: str, extra=()):
     cmd = [sys.executable, os.path.abspath(__file__), "--phase", phase,
            "--out", out_path, *extra]
-    log(f"--- phase {phase} (timeout {PHASE_TIMEOUT[phase]}s)")
-    try:
-        r = subprocess.run(cmd, timeout=PHASE_TIMEOUT[phase],
-                           stdout=sys.stderr, stderr=sys.stderr)
-        if r.returncode != 0:
-            log(f"phase {phase}: exited rc={r.returncode} "
-                "(fragments up to the fault survive)")
-    except subprocess.TimeoutExpired:
-        log(f"phase {phase}: timed out (fragments up to the stall survive)")
+    # one retry for a phase that dies leaving NO fragments at all: the
+    # axon tunnel can stall a process at a random compile/dispatch after
+    # heavy process churn (round-5 run: the ell phase hung before even
+    # the stream probe; the probe alone re-ran fine) — a stall that
+    # produced partial fragments is NOT retried (its timings survive)
+    for attempt in range(2):
+        log(f"--- phase {phase} (timeout {PHASE_TIMEOUT[phase]}s"
+            + (", retry" if attempt else "") + ")")
+        try:
+            r = subprocess.run(cmd, timeout=PHASE_TIMEOUT[phase],
+                               stdout=sys.stderr, stderr=sys.stderr)
+            if r.returncode != 0:
+                log(f"phase {phase}: exited rc={r.returncode} "
+                    "(fragments up to the fault survive)")
+        except subprocess.TimeoutExpired:
+            log(f"phase {phase}: timed out (fragments up to the stall "
+                "survive)")
+        if os.path.exists(out_path):
+            with open(out_path) as fh:
+                data = json.load(fh)
+            ok = (("e_ref" in data) if phase == "ref"
+                  else bool(data.get("times") or data.get("gates")))
+            if ok:
+                return data
+        if attempt == 0:
+            log(f"phase {phase}: no fragments recorded — settling "
+                f"{SETTLE_S}s and retrying once")
+            time.sleep(SETTLE_S)
     if os.path.exists(out_path):
         with open(out_path) as fh:
             return json.load(fh)
