@@ -183,10 +183,13 @@ class _ChiBatcher:
             (vv / np.sqrt(norm2), norm2, state_e, therm, chi))
 
     def run(self) -> None:
+        import logging
+        log = logging.getLogger("dmft_lanc_ed_tpu")
         from .utils.observability import kernel_stats
         from .ops.blocksparse import BlockSparseSectorOp
         from .ops.bs_chain import gf_chain_applicable, gf_tridiag_batch
         from .gf import unwrap_op
+        n_chain = n_scan = 0
         for sqn, tasks in self.groups.items():
             op, op_apply = self.hcache(sqn)
             op, _, pad_batch = unwrap_op(op)
@@ -197,8 +200,10 @@ class _ChiBatcher:
                     and dim >= self.cfg.ed_gf_chain_min_dim
                     and gf_chain_applicable(op, m)):
                 # fused f32 chain kernel (same contract as the GF batcher)
-                v0 = jnp.stack([t[0] for t in tasks])
+                v0 = jnp.asarray(np.stack([np.asarray(t[0])
+                                           for t in tasks]))
                 kernel_stats.record(m * len(tasks), op.nnz)
+                n_chain += len(tasks)
                 a_b, b_b = gf_tridiag_batch(op, v0, m)
                 for t, a, b in zip(tasks, a_b, b_b):
                     _, norm2, state_e, therm, chi = t
@@ -217,16 +222,19 @@ class _ChiBatcher:
                 if bpad > len(chunk):
                     v0 = np.concatenate(
                         [v0, np.zeros((bpad - len(chunk), dim), v0.dtype)])
-                v0 = jnp.asarray(v0)
-                if pad_batch is not None:
-                    v0 = pad_batch(v0)
+                v0 = (pad_batch(v0) if pad_batch is not None
+                      else jnp.asarray(v0))
                 kernel_stats.record(m * len(chunk), getattr(op, "nnz", 0))
+                n_scan += len(chunk)
                 a_b, b_b = lanczos_tridiag_batched(op, v0, m, op_apply)
                 a_np = np.asarray(a_b)[:len(chunk)]
                 b_np = np.asarray(b_b)[:len(chunk)]
                 for t, a, b in zip(chunk, a_np, b_np):
                     _, norm2, state_e, therm, chi = t
                     _store_poles(self.cfg, a, b, norm2, state_e, therm, chi)
+        if n_chain or n_scan:
+            log.info("chi batch routing: %d excitations via fused chain "
+                     "kernel, %d via batched XLA scan", n_chain, n_scan)
         self.groups.clear()
 
 

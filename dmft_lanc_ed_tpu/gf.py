@@ -147,20 +147,25 @@ class BucketedOp:
     def dim_pad(self) -> int:
         return self.dim_ph * self.dd_p * self.du_p
 
-    def pad_flat(self, v: jnp.ndarray) -> jnp.ndarray:
+    def pad_flat(self, v) -> jnp.ndarray:
+        """Host numpy pad (one device push): the eager jnp pad compiled a
+        fresh executable per (batch, bucket) key — 2-5 s each through the
+        remote compiler, the bulk of the round-4/5 cold-GF walls."""
         lead = (self.dim_ph,) if self.dim_ph > 1 else ()
-        v = v.reshape(lead + (self.dd, self.du))
+        v = np.asarray(v).reshape(lead + (self.dd, self.du))
         pad = ((0, 0),) * len(lead) + ((0, self.dd_p - self.dd),
                                        (0, self.du_p - self.du))
-        return jnp.pad(v, pad).reshape(-1)
+        return jnp.asarray(np.pad(v, pad).reshape(-1))
 
-    def pad_batch(self, vb: jnp.ndarray) -> jnp.ndarray:
+    def pad_batch(self, vb) -> jnp.ndarray:
+        """[B, dim] -> padded [B, dim_pad] on host (see pad_flat)."""
+        vb = np.asarray(vb)
         b = vb.shape[0]
         lead = (self.dim_ph,) if self.dim_ph > 1 else ()
         v = vb.reshape((b,) + lead + (self.dd, self.du))
         pad = ((0, 0),) * (1 + len(lead)) + ((0, self.dd_p - self.dd),
                                              (0, self.du_p - self.du))
-        return jnp.pad(v, pad).reshape(b, -1)
+        return jnp.asarray(np.pad(v, pad).reshape(b, -1))
 
 
 def unwrap_op(op):
@@ -318,6 +323,7 @@ class _ExcBatcher:
         from .utils.observability import kernel_stats
         from .ops.blocksparse import BlockSparseSectorOp
         from .ops.bs_chain import gf_chain_applicable, gf_tridiag_batch
+        n_chain = n_scan = 0
         for jqn, tasks in self.groups.items():
             log.debug("gf batch: sector %s, %d excitations, dim %d",
                       jqn, len(tasks), tasks[0][0].shape[0])
@@ -342,8 +348,10 @@ class _ExcBatcher:
                 # fraction tridiagonalization of each excitation is one
                 # kernel chain, GF_CHAIN_BATCH chains per dispatch
                 # (ops/bs_chain.py; ED_GF_NORMAL.f90:599-654 analogue)
-                v0 = jnp.stack([t[0] for t in tasks])
+                v0 = jnp.asarray(np.stack([np.asarray(t[0])
+                                           for t in tasks]))
                 kernel_stats.record(m * len(tasks), op.nnz)
+                n_chain += len(tasks)
                 a_b, b_b = gf_tridiag_batch(op, v0, m)
                 self._accumulate(tasks, a_b, b_b)
                 continue
@@ -373,13 +381,18 @@ class _ExcBatcher:
                         v0 = np.concatenate(
                             [v0, np.zeros((bpad - len(chunk), dim),
                                           v0.dtype)])
-                    v0 = jnp.asarray(v0)
-                    if pad_batch is not None:
-                        v0 = pad_batch(v0)
+                    v0 = (pad_batch(v0) if pad_batch is not None
+                          else jnp.asarray(v0))
                 kernel_stats.record(m * len(chunk), getattr(op, "nnz", 0))
+                n_scan += len(chunk)
                 a_b, b_b = lanczos_tridiag_batched(op, v0, m, op_apply)
                 self._accumulate(chunk, np.asarray(a_b)[:len(chunk)],
                                  np.asarray(b_b)[:len(chunk)])
+        # chain-vs-scan routing log (VERDICT r4 item 6): how much of the
+        # GF batch ran through the fused chain kernel vs the XLA scan
+        if n_chain or n_scan:
+            log.info("gf batch routing: %d excitations via fused chain "
+                     "kernel, %d via batched XLA scan", n_chain, n_scan)
         self.groups.clear()
 
 
