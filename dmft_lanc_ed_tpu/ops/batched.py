@@ -131,9 +131,9 @@ _APPLY = {"f64": matvec_dense, "mixed": matvec_dense_mixed,
           "fast": matvec_dense_fast}
 
 
-@partial(jax.jit, static_argnames=("m", "l", "op_apply"))
+@partial(jax.jit, static_argnames=("m", "l", "op_apply", "fast_proj"))
 def _bucket_restart(stacked, basis_prev, s_keep, theta0, v_start, m: int,
-                    l: int, op_apply):
+                    l: int, op_apply, fast_proj: bool = False):
     """One thick restart of the whole bucket in ONE dispatch: the Ritz
     prefix is combined from the PREVIOUS basis inside the jit (s_keep is a
     small host array shipped with the call), and the per-element
@@ -142,7 +142,8 @@ def _bucket_restart(stacked, basis_prev, s_keep, theta0, v_start, m: int,
     prefix = jnp.einsum("bml,bm...->bl...", s_keep, basis_prev)
 
     def one(op_b, prefix_b, theta_b, v_b):
-        return _build_basis_rr(op_b, prefix_b, theta_b, v_b, m, l, op_apply)
+        return _build_basis_rr(op_b, prefix_b, theta_b, v_b, m, l, op_apply,
+                               fast_proj=fast_proj)
 
     res = jax.vmap(one)(stacked, prefix, theta0, v_start)
     b = res.t_mat.shape[0]
@@ -283,7 +284,8 @@ def lanczos_ground_state_bucket(
     for restart in range(max_restarts):
         basis, v_next, packed = _bucket_restart(
             stacked, basis, jnp.asarray(s_keep, dtype),
-            jnp.asarray(new_theta, dtype), v0, m, l, apply_nd)
+            jnp.asarray(new_theta, dtype), v0, m, l, apply_nd,
+            fast_proj=(precision != "f64"))
         kernel_stats.record(b * (m - l), stacked.nnz_count // max(b, 1))
         packed_np = np.asarray(packed, np.float64)
         t_np = packed_np[:, :-1].reshape(b, m, m)

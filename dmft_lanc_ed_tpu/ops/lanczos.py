@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _EPS = 1e-30
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 # --------------------------------------------------------------------------
@@ -139,9 +140,10 @@ def _comb(coeff: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
     return jnp.tensordot(coeff, basis, axes=1)
 
 
-@partial(jax.jit, static_argnames=("m", "l", "op_apply"))
+@partial(jax.jit, static_argnames=("m", "l", "op_apply", "fast_proj"))
 def _build_basis_rr(op, prefix, theta0, v_start, m: int, l: int,
-                    op_apply: Callable) -> _BasisResult:
+                    op_apply: Callable,
+                    fast_proj: bool = False) -> _BasisResult:
     """Extend an l-vector Ritz prefix to an m-vector orthonormal basis.
 
     Thick-restart Lanczos with CGS2 full reorthogonalization: the prefix rows
@@ -151,6 +153,15 @@ def _build_basis_rr(op, prefix, theta0, v_start, m: int, l: int,
     projected matrix T[j,i] = <v_j, H v_i> is recorded from the first-pass
     orthogonalization coefficients. Replaces ARPACK's implicit restarts
     (sp_eigh, ED_DIAG.f90:151-171) with a fixed-shape jitted loop.
+
+    ``fast_proj`` runs the CGS2 projection/combination matmuls on an f32
+    shadow of the basis at HIGHEST precision (MXU) while the vectors and
+    norms stay f64: f64 matmuls are VPU-emulated on TPU and were the
+    measured per-restart wall of the bucketed sector solver (~1.4 s per
+    (8x48x256x256) restart). The orthogonality floor becomes ~1e-7 — the
+    same scale as the mixed-precision matvec noise the tolerance floor
+    (3e-6) and the f64 Rayleigh-Ritz polish already absorb. Only enabled
+    by callers whose apply is itself mixed precision.
     """
     dtype = v_start.dtype
     vshape = v_start.shape
@@ -160,30 +171,47 @@ def _build_basis_rr(op, prefix, theta0, v_start, m: int, l: int,
         vb = vb.at[:l].set(prefix)
         t_mat = t_mat.at[jnp.arange(l), jnp.arange(l)].set(theta0)
 
+    use32 = fast_proj and dtype == jnp.float64
+    vb32 = vb.astype(jnp.float32) if use32 else None
+
+    def cgs_pass(vb, vb32, w):
+        """One classical GS pass; returns (coefficients, w_orthogonal)."""
+        if use32:
+            c32 = jnp.tensordot(vb32, w.astype(jnp.float32),
+                                axes=w.ndim, precision=_HIGHEST)
+            corr = jnp.tensordot(c32, vb32, axes=1, precision=_HIGHEST)
+            return c32.astype(dtype), w - corr.astype(dtype)
+        c = _proj(vb, w)
+        return c, w - _comb(c, vb)
+
     # orthonormalize the start vector against the prefix (CGS2)
-    v = v_start - _comb(_proj(vb, v_start), vb)
-    v = v - _comb(_proj(vb, v), vb)
+    _, v = cgs_pass(vb, vb32, v_start)
+    _, v = cgs_pass(vb, vb32, v)
     v = v / jnp.maximum(jnp.linalg.norm(v), _EPS)
 
     def body(i, carry):
-        vb, t_mat, v, _ = carry
+        vb, vb32, t_mat, v, _ = carry
         vb = jax.lax.dynamic_update_index_in_dim(vb, v, i, 0)
+        if use32:
+            vb32 = jax.lax.dynamic_update_index_in_dim(
+                vb32, v.astype(jnp.float32), i, 0)
         # cast to the basis dtype: a mixed apply promotes through its f64
         # diagonal even when the basis runs f32 (the accelerator bucket
         # path — f64 basis arithmetic is emulated on TPU)
         w = op_apply(op, v).astype(v.dtype)
-        c1 = _proj(vb, w)               # rows > i are zero -> c1 zero there
+        c1, w = cgs_pass(vb, vb32, w)   # rows > i are zero -> c1 zero there
         t_mat = jax.lax.dynamic_update_slice(t_mat, c1[:, None], (0, i))
-        w = w - _comb(c1, vb)
-        w = w - _comb(_proj(vb, w), vb)  # second CGS pass
+        _, w = cgs_pass(vb, vb32, w)    # second CGS pass
         beta = jnp.linalg.norm(w)
         ok = beta > 1e-14
         v_new = jnp.where(ok, w / jnp.where(ok, beta, 1.0), 0.0)
         beta = jnp.where(ok, beta, 0.0)
-        return vb, t_mat, v_new, beta
+        return vb, vb32, t_mat, v_new, beta
 
-    init = (vb, t_mat, v, jnp.array(0.0, dtype))
-    vb, t_mat, v_next, beta_last = jax.lax.fori_loop(l, m, body, init)
+    if not use32:
+        vb32 = jnp.zeros((1,), dtype)   # loop-carry placeholder
+    init = (vb, vb32, t_mat, v, jnp.array(0.0, dtype))
+    vb, _, t_mat, v_next, beta_last = jax.lax.fori_loop(l, m, body, init)
     return _BasisResult(vb, t_mat, beta_last, v_next)
 
 
@@ -223,6 +251,11 @@ def lanczos_ground_state(
     Returns (energies [k], vectors [k, dim] flat) ascending, k == neigen.
     """
     vshape = tuple(vshape) if vshape is not None else (dim,)
+    # f32-shadow CGS2 projections (see _build_basis_rr): safe exactly when
+    # an f64 polish follows (it recovers the ~1e-7 orthogonality floor)
+    # and worthwhile only where f64 matmuls are emulated (accelerators)
+    fast_proj = (polish_apply is not None and dtype == jnp.float64
+                 and jax.default_backend() != "cpu")
     neigen = min(neigen, dim)
     m = ncv or max(2 * neigen + 16, 32)
     m = min(m, dim)
@@ -246,7 +279,8 @@ def lanczos_ground_state(
     stall = 0
     n_conv_prev = 0
     for restart in range(max_restarts):
-        res = _build_basis_rr(op, prefix, theta0, v0, m, l, op_apply)
+        res = _build_basis_rr(op, prefix, theta0, v0, m, l, op_apply,
+                              fast_proj=fast_proj)
         kernel_stats.record(m - l, getattr(op, "nnz", 0))
         theta_np, s_np = _ritz(np.asarray(res.t_mat), m)
         resid = np.abs(float(res.beta_last) * s_np[m - 1, :])
