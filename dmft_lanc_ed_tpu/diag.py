@@ -244,7 +244,11 @@ def _blocksparse_ground_state(cfg: EDConfig, op, dim: int, neigen: int,
             # error contraction is ~500x (3 rounds x ~8), so a couple of
             # guarded calls take eta 1e-4 to the 1e-7-residual bar; on
             # persistent failure fall through to the full top-off with
-            # the best vector found.
+            # the best vector found. (A host-BLAS polish was measured
+            # SLOWER here — 5.7 vs 3.1 s warm at 854k — numpy dgemm does
+            # not beat the device's f64 matmuls at these sizes; the host
+            # polish serves the SHARDED path, which has no padded-space
+            # device program.)
             from .ops.lanczos import refine_eigenpairs
             for _ in range(3):
                 vals, vecs = refine_eigenpairs(pop, matvec_bs_exact_padded,

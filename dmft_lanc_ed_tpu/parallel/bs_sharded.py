@@ -240,17 +240,26 @@ def _sharded_bs_apply(handle: _ShardedBsHandle, v: jnp.ndarray
     return y
 
 
+def _nat_host(op: BlockSparseSectorOp):
+    """Host copies of the natural-order exact factors, stashed on the op
+    (one device pull total, shared by every polish call)."""
+    stash = getattr(op, "_nat_host_factors", None)
+    if stash is None:
+        stash = (np.asarray(op.hup), np.asarray(op.hdw),
+                 np.asarray(op.diag))
+        object.__setattr__(op, "_nat_host_factors", stash)
+    return stash
+
+
 def _host_refine(op: BlockSparseSectorOp, vecs: np.ndarray,
                  steps: int = 2, max_rounds: int = 3
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """f64 Rayleigh-Ritz polish on HOST numpy over the natural-order
-    factors (the big-sector sharded path has no padded-space device
-    program for the polish; at these factor sizes host BLAS matmuls are
-    cheap next to the sharded Krylov stage). Same contract as
-    ops.lanczos.refine_eigenpairs: each round squares the subspace error."""
-    hup = np.asarray(op.hup)
-    hdw = np.asarray(op.hdw)
-    diag = np.asarray(op.diag)
+    factors: at these factor sizes host BLAS dgemm beats the TPU's
+    emulated-f64 matmuls, and the polish leaves the device free. Same
+    contract as ops.lanczos.refine_eigenpairs: each round squares the
+    subspace error."""
+    hup, hdw, diag = _nat_host(op)
     dd, du = op.dim_dw, op.dim_up
     k = vecs.shape[0]
 
@@ -376,13 +385,18 @@ def bs_sharded_ground_state(cfg, op: BlockSparseSectorOp, mesh: Mesh,
         np.asarray(from_padded(op, jnp.asarray(v).reshape(pshape),
                                jnp.float64)).reshape(-1)
         for v in evecs_p])
-    # iterated guarded polish (same discipline as the serial two-stage
-    # path in diag._blocksparse_ground_state: each Rayleigh-Ritz call
-    # contracts the residual ~8x — measured round 4 — so iterate to the
-    # residual bar instead of trusting one call)
-    hup = np.asarray(op.hup)
-    hdw = np.asarray(op.hdw)
-    diag = np.asarray(op.diag)
+    # iterated guarded polish: each Rayleigh-Ritz call contracts the
+    # residual ~8x (measured round 4), so iterate to the residual bar
+    vals, vecs, _ = host_polish(op, vecs)
+    return vals, vecs
+
+
+def host_polish(op: BlockSparseSectorOp, vecs: np.ndarray,
+                target: float = 1e-8, max_calls: int = 8):
+    """Iterate :func:`_host_refine` until the true relative residual is
+    below ``target`` (shared by the sharded solve and the serial chain
+    path's polish-only shortcut). Returns (vals, vecs, residual)."""
+    hup, hdw, diag = _nat_host(op)
 
     def resid(vals, vecs):
         r = 0.0
@@ -394,8 +408,10 @@ def bs_sharded_ground_state(cfg, op: BlockSparseSectorOp, mesh: Mesh,
         return r
 
     vals = None
-    for _ in range(8):
+    r = np.inf
+    for _ in range(max_calls):
         vals, vecs = _host_refine(op, vecs)
-        if resid(vals, vecs) <= 1e-8:
+        r = resid(vals, vecs)
+        if r <= target:
             break
-    return vals, vecs
+    return vals, vecs, r
