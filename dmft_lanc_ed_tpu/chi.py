@@ -215,9 +215,15 @@ class _ChiBatcher:
             bmax = 1 << (cap.bit_length() - 1)
             for i0 in range(0, len(tasks), bmax):
                 chunk = tasks[i0:i0 + bmax]
-                bpad = 1
+                # pad to a FIXED floor of 8 (zero-filled dead chains are
+                # cheap) so executables key on a stable batch size: the
+                # state-list size fluctuates across DMFT iterations (GS
+                # degeneracy changes) and every fresh (bucket, pow2-B)
+                # pair was a new remote compile mid-loop
+                bpad = 8
                 while bpad < len(chunk):
                     bpad *= 2
+                bpad = min(bpad, bmax)
                 v0 = np.stack([np.asarray(t[0]) for t in chunk])
                 if bpad > len(chunk):
                     v0 = np.concatenate(

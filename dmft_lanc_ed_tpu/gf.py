@@ -366,9 +366,15 @@ class _ExcBatcher:
                 # a sector reuses one executable instead of compiling per
                 # batch size — first-iteration compile count matters
                 # through the remote-compile tunnel
-                bpad = 1
+                # pad to a FIXED floor of 8 (zero-filled dead chains are
+                # cheap) so executables key on a stable batch size: the
+                # state-list size fluctuates across DMFT iterations (GS
+                # degeneracy changes) and every fresh (bucket, pow2-B)
+                # pair was a new remote compile mid-loop
+                bpad = 8
                 while bpad < len(chunk):
                     bpad *= 2
+                bpad = min(bpad, bmax)
                 if sop is not None:
                     vs = np.stack([np.asarray(t[0]) for t in chunk])
                     if bpad > len(chunk):

@@ -699,9 +699,9 @@ def gf_tridiag_batch(op: BlockSparseSectorOp, v_batch: jnp.ndarray, m: int,
     for i0 in range(0, b_total, GF_CHAIN_BATCH):
         chunk = v_batch[i0:i0 + GF_CHAIN_BATCH]
         bc = chunk.shape[0]
-        bpad = 1
-        while bpad < bc:
-            bpad *= 2
+        # fixed batch size: dead chains cost ~ms of kernel time while a
+        # fresh (geometry, B) pair costs seconds of remote compile
+        bpad = GF_CHAIN_BATCH
         chunk_p = _to_padded_batch(
             op.perm_dw, op.perm_up,
             chunk.reshape(bc, op.dim_dw, op.dim_up), ddp, dup)
