@@ -39,6 +39,30 @@ from dmft_lanc_ed_tpu.ops.blocksparse import (VMEM_LIMIT, _dot3,
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def _tables_from_runs(pop):
+    """(cnt, lst) SMEM tables reconstructed from the op's static trim runs
+    (the production op stores only the runs; the dynamic-variant probes
+    here need the flat tile lists)."""
+    dw_runs, up_runs = pop._trim_runs
+
+    def expand(runs_tup, ntw):
+        nt = len(runs_tup)
+        cnt = np.zeros((nt, 1), np.int32)
+        lst = np.zeros((nt, ntw), np.int32)
+        for i, runs in enumerate(runs_tup):
+            k = 0
+            for (r0, r1) in runs:
+                for wt in range(r0, r1):
+                    lst[i, k] = wt
+                    k += 1
+            cnt[i, 0] = k
+        return jnp.asarray(cnt), jnp.asarray(lst)
+
+    dwc, dwl = expand(dw_runs, pop.w_dw // 128)
+    upc, upl = expand(up_runs, pop.w_up // 128)
+    return dwc, dwl, upc, upl
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -50,6 +74,7 @@ def make_variant(op, mode):
     ntd, ntu = ddp // 128, dup // 128
     trim_dw = mode in ("dwtrim", "both")
     trim_up = mode in ("uptrim", "both")
+    trim_tables = _tables_from_runs(pop)
 
     def kernel(scale_ref, v_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
                a_ref, b_ref, dwc_ref, dwl_ref, upc_ref, upl_ref,
@@ -158,7 +183,7 @@ def make_variant(op, mode):
                     vmem_limit_bytes=VMEM_LIMIT),
             )(scale.reshape(1, 1).astype(jnp.float32), v32p, pop.dw_hi,
               pop.dw_lo, pop.up_hi, pop.up_lo, pop.diag_a, pop.diag_b,
-              pop.dw_cnt, pop.dw_lst, pop.up_cnt, pop.up_lst)
+              *trim_tables)
     return call
 
 
