@@ -209,12 +209,7 @@ def make_static_runs(op):
     d_dw, w_dw, d_up, w_up = pop.d_dw, pop.w_dw, pop.d_up, pop.w_up
     ddp, dup = pop.padded_shape
     ntd, ntu = ddp // 128, dup // 128
-    dwc = np.asarray(pop.dw_cnt)[:, 0]
-    dwl = np.asarray(pop.dw_lst)
-    upc = np.asarray(pop.up_cnt)[:, 0]
-    upl = np.asarray(pop.up_lst)
-    dw_runs = [_runs(dwc[i], dwl[i]) for i in range(ntd)]
-    up_runs = [_runs(upc[j], upl[j]) for j in range(ntu)]
+    dw_runs, up_runs = pop._trim_runs
 
     def kernel(scale_ref, v_ref, dwhi_ref, dwlo_ref, uphi_ref, uplo_ref,
                a_ref, b_ref, out_ref, ss_ref):
